@@ -1,0 +1,34 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding path can be
+exercised without a pod slice (SURVEY.md §4.4).  The real-TPU benchmark path
+is exercised by bench.py, not pytest.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def h264ref():
+    """Path to the libavcodec conformance-oracle CLI, built on demand."""
+    exe = REPO / "tools" / "h264ref"
+    src = REPO / "tools" / "h264ref.c"
+    if not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["gcc", "-O2", "-o", str(exe), str(src), "-lavcodec", "-lavutil"],
+            check=True,
+        )
+    return str(exe)
