@@ -1,0 +1,309 @@
+"""CAVLC slice-data / macroblock-layer parser (spec 7.3.4, 7.3.5, 9.2).
+
+Reference parity: JM-lineage `mb_read.c` / `read_comp_cavlc.c` (SURVEY.md §2;
+reference mount empty — implemented from the spec clauses).
+
+This is the host entropy layer: it turns slice RBSPs into per-MB records
+(the "MB tensor" source).  It never looks at pixels, so parsing is fully
+decoupled from reconstruction — the property the TPU pipeline relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bits import BitReader
+from ..bitstream.params import PPS, SPS
+from ..bitstream.slicehdr import SliceHeader
+from ..entropy.cavlc import decode_residual_block
+from .types import (
+    CBP_ME, MB_I4x4, MB_I8x8, MB_I16x16, MB_IPCM, MBRecord, i16_fields,
+)
+
+
+class PictureParse:
+    """Parse state for one coded picture (all its slices)."""
+
+    def __init__(self, sps: SPS, pps: PPS):
+        self.sps = sps
+        self.pps = pps
+        self.mb_w = sps.pic_width_in_mbs
+        self.mb_h = sps.pic_height_in_map_units
+        n = self.mb_w * self.mb_h
+        self.mbs: list[MBRecord | None] = [None] * n
+        # per-4x4-block AC total_coeff maps (for nC derivation, spec 9.2.1)
+        self.tc_luma = np.zeros((self.mb_h * 4, self.mb_w * 4), np.int32)
+        self.tc_cb = np.zeros((self.mb_h * 2, self.mb_w * 2), np.int32)
+        self.tc_cr = np.zeros((self.mb_h * 2, self.mb_w * 2), np.int32)
+        # per-4x4-block intra pred mode map (spec 8.3.1.1); -1 = n/a
+        self.mode_map = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
+        self.slice_map = np.full((self.mb_h, self.mb_w), -1, np.int32)
+        self.headers: list[SliceHeader] = []
+
+    # -- neighbor helpers ---------------------------------------------------
+
+    def _mb_at(self, mb_x: int, mb_y: int) -> MBRecord | None:
+        if mb_x < 0 or mb_y < 0 or mb_x >= self.mb_w or mb_y >= self.mb_h:
+            return None
+        return self.mbs[mb_y * self.mb_w + mb_x]
+
+    def _mb_available(self, mb_x: int, mb_y: int, cur_slice: int) -> bool:
+        if mb_x < 0 or mb_y < 0 or mb_x >= self.mb_w or mb_y >= self.mb_h:
+            return False
+        return self.slice_map[mb_y, mb_x] == cur_slice
+
+    def _nc_from(self, tc_map: np.ndarray, bx: int, by: int, cur_slice: int,
+                 blk_per_mb: int) -> int | None:
+        """total_coeff of the block at block coords (bx, by), None if n/a."""
+        if bx < 0 or by < 0:
+            return None
+        mb_x, mb_y = bx // blk_per_mb, by // blk_per_mb
+        if not self._mb_available(mb_x, mb_y, cur_slice):
+            return None
+        mb = self._mb_at(mb_x, mb_y)
+        if mb is not None and mb.category == MB_IPCM:
+            return 16
+        return int(tc_map[by, bx])
+
+    def luma_nc(self, bx: int, by: int, cur_slice: int) -> int:
+        na = self._nc_from(self.tc_luma, bx - 1, by, cur_slice, 4)
+        nb = self._nc_from(self.tc_luma, bx, by - 1, cur_slice, 4)
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def chroma_nc(self, plane: int, bx: int, by: int, cur_slice: int) -> int:
+        tc_map = self.tc_cb if plane == 0 else self.tc_cr
+        na = self._nc_from(tc_map, bx - 1, by, cur_slice, 2)
+        nb = self._nc_from(tc_map, bx, by - 1, cur_slice, 2)
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def pred_intra4x4_mode(self, bx: int, by: int, cur_slice: int,
+                           cur_modes_in_mb: dict[tuple[int, int], int]) -> int:
+        """predIntra4x4PredMode (spec 8.3.1.1); also used for 8x8 (8.3.2.1)."""
+
+        def neighbor_mode(nbx: int, nby: int) -> int | None:
+            if nbx < 0 or nby < 0:
+                return None
+            if (nbx, nby) in cur_modes_in_mb:
+                return cur_modes_in_mb[(nbx, nby)]
+            mb_x, mb_y = nbx // 4, nby // 4
+            if not self._mb_available(mb_x, mb_y, cur_slice):
+                return None
+            mb = self._mb_at(mb_x, mb_y)
+            if mb is None:
+                return None
+            if not mb.is_intra_nxn:
+                if self.pps.constrained_intra_pred_flag and not mb.is_intra:
+                    return None   # triggers dcPredModePredictedFlag
+                return 2          # non-I_NxN neighbor contributes DC
+            return int(self.mode_map[nby, nbx])
+
+        ma = neighbor_mode(bx - 1, by)
+        mb_ = neighbor_mode(bx, by - 1)
+        if ma is None or mb_ is None:
+            return 2
+        return min(ma, mb_)
+
+    # -- residual parse -----------------------------------------------------
+
+    def _parse_residual_luma_4x4(self, r: BitReader, mb: MBRecord,
+                                 mb_x: int, mb_y: int, cur_slice: int,
+                                 ac_only: bool) -> np.ndarray:
+        """16 4x4 luma blocks (levels in scan order).  Returns [16,16] int32."""
+        from ..common.tables import BLK4_X, BLK4_Y
+        out = np.zeros((16, 16), np.int32)
+        for blk in range(16):
+            x4, y4 = BLK4_X[blk], BLK4_Y[blk]
+            i8 = (y4 // 2) * 2 + (x4 // 2)
+            if not (mb.cbp_luma >> i8) & 1:
+                continue
+            bx, by = mb_x * 4 + x4, mb_y * 4 + y4
+            nc = self.luma_nc(bx, by, cur_slice)
+            if ac_only:
+                levels = decode_residual_block(r, nc, 15)
+                out[blk, 1:] = levels
+                tc = int(np.count_nonzero(out[blk]))
+            else:
+                levels = decode_residual_block(r, nc, 16)
+                out[blk] = levels
+                tc = int(np.count_nonzero(levels))
+            self.tc_luma[by, bx] = tc
+            mb.tc_luma[y4, x4] = tc
+        return out
+
+    def _parse_residual_luma_8x8(self, r: BitReader, mb: MBRecord,
+                                 mb_x: int, mb_y: int, cur_slice: int) -> np.ndarray:
+        """CAVLC 8x8: four interleaved 4x4 reads per 8x8 (spec 7.4.5.3.3).
+
+        Returns [4, 64] scan-order levels per 8x8 block.
+        """
+        out = np.zeros((4, 64), np.int32)
+        for i8 in range(4):
+            if not (mb.cbp_luma >> i8) & 1:
+                continue
+            x8, y8 = i8 % 2, i8 // 2
+            for sub in range(4):
+                x4 = x8 * 2 + sub % 2
+                y4 = y8 * 2 + sub // 2
+                bx, by = mb_x * 4 + x4, mb_y * 4 + y4
+                nc = self.luma_nc(bx, by, cur_slice)
+                levels = decode_residual_block(r, nc, 16)
+                out[i8, sub::4] = levels
+                tc = int(np.count_nonzero(levels))
+                self.tc_luma[by, bx] = tc
+                mb.tc_luma[y4, x4] = tc
+        return out
+
+    def _parse_residual_chroma(self, r: BitReader, mb: MBRecord,
+                               mb_x: int, mb_y: int, cur_slice: int) -> None:
+        if mb.cbp_chroma == 0:
+            return
+        mb.chroma_dc = np.zeros((2, 4), np.int32)
+        for pl in range(2):
+            mb.chroma_dc[pl] = decode_residual_block(r, -1, 4)
+        mb.chroma_ac = np.zeros((2, 4, 16), np.int32)
+        if mb.cbp_chroma == 2:
+            for pl in range(2):
+                tc_map = self.tc_cb if pl == 0 else self.tc_cr
+                for blk in range(4):
+                    x2, y2 = blk % 2, blk // 2
+                    bx, by = mb_x * 2 + x2, mb_y * 2 + y2
+                    nc = self.chroma_nc(pl, bx, by, cur_slice)
+                    levels = decode_residual_block(r, nc, 15)
+                    mb.chroma_ac[pl, blk, 1:] = levels
+                    tc_map[by, bx] = int(np.count_nonzero(levels))
+
+    # -- macroblock layer ---------------------------------------------------
+
+    def parse_i_mb(self, r: BitReader, mb_type: int, mb_x: int, mb_y: int,
+                   cur_slice: int, prev_qp: int) -> tuple[MBRecord, int]:
+        """Parse one I-macroblock (CAVLC).  Returns (record, new_prev_qp)."""
+        sps, pps = self.sps, self.pps
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cur_slice)
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+
+        if mb_type == 25:  # I_PCM
+            mb.category = MB_IPCM
+            r.align()
+            n = 256 + 128  # 4:2:0, 8-bit
+            mb.pcm_samples = np.array([r.u(8) for _ in range(n)], np.uint8)
+            mb.qp = prev_qp  # QPY unchanged for the chain (deblock uses 0)
+            mb.tc_luma[:] = 16
+            self.tc_luma[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = 16
+            self.tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            self.tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            self.mbs[mb_y * self.mb_w + mb_x] = mb
+            self.slice_map[mb_y, mb_x] = cur_slice
+            return mb, prev_qp
+
+        if mb_type == 0:  # I_NxN
+            if pps.transform_8x8_mode_flag:
+                mb.transform_8x8 = bool(r.u1())
+            mb.category = MB_I8x8 if mb.transform_8x8 else MB_I4x4
+            # register MB before mode parse so availability checks see it
+            self.mbs[mb_y * self.mb_w + mb_x] = mb
+            self.slice_map[mb_y, mb_x] = cur_slice
+            cur_modes: dict[tuple[int, int], int] = {}
+            if mb.transform_8x8:
+                from ..common.tables import BLK8_X, BLK8_Y
+                for blk in range(4):
+                    bx = mb_x * 4 + BLK8_X[blk] * 2
+                    by = mb_y * 4 + BLK8_Y[blk] * 2
+                    pred = self.pred_intra4x4_mode(bx, by, cur_slice, cur_modes)
+                    if r.u1():
+                        mode = pred
+                    else:
+                        rem = r.u(3)
+                        mode = rem if rem < pred else rem + 1
+                    mb.i8_modes[blk] = mode
+                    for dy in range(2):
+                        for dx in range(2):
+                            cur_modes[(bx + dx, by + dy)] = mode
+                            self.mode_map[by + dy, bx + dx] = mode
+            else:
+                from ..common.tables import BLK4_X, BLK4_Y
+                for blk in range(16):
+                    bx = mb_x * 4 + BLK4_X[blk]
+                    by = mb_y * 4 + BLK4_Y[blk]
+                    pred = self.pred_intra4x4_mode(bx, by, cur_slice, cur_modes)
+                    if r.u1():
+                        mode = pred
+                    else:
+                        rem = r.u(3)
+                        mode = rem if rem < pred else rem + 1
+                    mb.i4_modes[blk] = mode
+                    cur_modes[(bx, by)] = mode
+                    self.mode_map[by, bx] = mode
+            mb.chroma_mode = r.ue()
+            # coded_block_pattern me(v), Table 9-4 intra column
+            code = r.ue()
+            if code >= len(CBP_ME):
+                raise ValueError(f"bad cbp code {code}")
+            cbp = CBP_ME[code][0]
+            mb.cbp_luma = cbp & 15
+            mb.cbp_chroma = cbp >> 4
+        else:  # I_16x16
+            mb.category = MB_I16x16
+            mb.i16_mode, mb.cbp_chroma, mb.cbp_luma = i16_fields(mb_type - 1)
+            self.mbs[mb_y * self.mb_w + mb_x] = mb
+            self.slice_map[mb_y, mb_x] = cur_slice
+            mb.chroma_mode = r.ue()
+
+        if mb.cbp_luma or mb.cbp_chroma or mb.category == MB_I16x16:
+            delta = r.se()
+            if delta < -26 or delta > 25:
+                raise ValueError(f"mb_qp_delta out of range: {delta}")
+            prev_qp = (prev_qp + delta + 52) % 52
+        mb.qp = prev_qp
+
+        # residuals
+        if mb.category == MB_I16x16:
+            bx, by = mb_x * 4, mb_y * 4
+            nc = self.luma_nc(bx, by, cur_slice)
+            mb.luma_dc = np.array(decode_residual_block(r, nc, 16), np.int32)
+            mb.luma_levels = self._parse_residual_luma_4x4(
+                r, mb, mb_x, mb_y, cur_slice, ac_only=True)
+        elif mb.transform_8x8:
+            mb.luma_levels = self._parse_residual_luma_8x8(r, mb, mb_x, mb_y, cur_slice)
+        else:
+            mb.luma_levels = self._parse_residual_luma_4x4(
+                r, mb, mb_x, mb_y, cur_slice, ac_only=False)
+        self._parse_residual_chroma(r, mb, mb_x, mb_y, cur_slice)
+        return mb, prev_qp
+
+    # -- slice driver ---------------------------------------------------------
+
+    def parse_slice(self, r: BitReader, hdr: SliceHeader) -> None:
+        """Parse slice_data for an I slice (CAVLC)."""
+        if self.pps.entropy_coding_mode_flag:
+            raise NotImplementedError("CABAC slice data not yet supported")
+        if not hdr.is_i:
+            raise NotImplementedError("P/B slice data not yet supported")
+        cur_slice = len(self.headers)
+        self.headers.append(hdr)
+        prev_qp = hdr.qp(self.pps)
+        addr = hdr.first_mb_in_slice
+        n = self.mb_w * self.mb_h
+        while True:
+            if addr >= n:
+                raise ValueError("slice data overruns picture")
+            mb_x, mb_y = addr % self.mb_w, addr // self.mb_w
+            mb_type = r.ue()
+            _, prev_qp = self.parse_i_mb(r, mb_type, mb_x, mb_y, cur_slice, prev_qp)
+            addr += 1
+            if not r.more_rbsp_data():
+                break
+
+    def finished(self) -> bool:
+        return all(m is not None for m in self.mbs)

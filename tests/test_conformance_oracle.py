@@ -1,0 +1,55 @@
+"""Golden-stream conformance tests for the numpy oracle decoder (SURVEY.md §4.1).
+
+Streams are synthesized in-repo with libx264; golden YUV comes from the
+system libavcodec h264 decoder (the JM stand-in).  The contract is bit-exact
+equality.
+"""
+
+import numpy as np
+import pytest
+
+from arrow_h264_tpu.oracle.decoder import OracleDecoder
+from tools import streams
+
+
+def _decode_ours(path: str) -> np.ndarray:
+    dec = OracleDecoder()
+    frames = []
+    for y, cb, cr in dec.decode_annexb(open(path, "rb").read()):
+        frames.append(np.concatenate([y.ravel(), cb.ravel(), cr.ravel()]))
+    return np.stack(frames)
+
+
+def _compare(ours: np.ndarray, golden: np.ndarray, w: int, h: int):
+    assert ours.shape == golden.shape, (ours.shape, golden.shape)
+    if not np.array_equal(ours, golden):
+        nfr = ours.shape[0]
+        ysz = w * h
+        for f in range(nfr):
+            dy = (ours[f, :ysz] != golden[f, :ysz]).sum()
+            dc = (ours[f, ysz:] != golden[f, ysz:]).sum()
+            if dy or dc:
+                yo = ours[f, :ysz].reshape(h, w).astype(int)
+                yg = golden[f, :ysz].reshape(h, w).astype(int)
+                pos = np.argwhere(yo != yg)
+                detail = ""
+                if len(pos):
+                    py, px = pos[0]
+                    detail = (f" first luma diff at ({px},{py}): "
+                              f"{yo[py, px]} vs {yg[py, px]}")
+                raise AssertionError(
+                    f"frame {f}: {dy} luma / {dc} chroma mismatches;{detail}")
+
+
+@pytest.mark.parametrize("qp", [10, 26, 38, 48])
+def test_config1_i_only_qcif_cavlc(h264ref, tmp_path, qp):
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 3, seed=qp)
+    path = str(tmp_path / f"c1_qp{qp}.264")
+    opts = ["profile=baseline", f"qp={qp}", "g=1", "bf=0", "refs=1",
+            f"x264-params=cabac=0:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    assert (gw, gh) == (w, h)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)
