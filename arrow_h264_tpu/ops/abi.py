@@ -1,0 +1,192 @@
+"""MB-tensor ABI: the frozen host->device contract (SURVEY.md §7 step 2).
+
+The host entropy layer (mb.parse, later C++) emits per-frame dense numpy
+arrays; every device kernel codes against THIS layout.  All per-block data
+is in raster block order (y-major), levels already inverse-zigzag-scanned
+to raster — the host does the permutation, the device only does arithmetic.
+
+Layout (per frame; the stream batch dimension B is added by stacking):
+  kind        [nMB] int32   0=I4x4 1=I8x8 2=I16x16 3=IPCM (4=P, 5=B later)
+  qp          [nMB] int32   luma QP (deblock uses 0 for IPCM)
+  luma4       [nMB,16,4,4] int32  4x4-transform levels, raster blocks (y4,x4)
+  luma8       [nMB,4,8,8]  int32  8x8-transform levels (I8x8/inter-8x8 MBs)
+  luma_dc     [nMB,4,4]    int32  I16x16 DC levels (raster)
+  chroma_dc   [nMB,2,2,2]  int32  per plane 2x2 DC
+  chroma_ac   [nMB,2,2,2,4,4] int32  per plane raster blocks, [0,0]=0
+  i4_modes    [nMB,16] int32  per 4x4 block, raster (y4*4+x4)
+  i8_modes    [nMB,4]  int32
+  i16_mode    [nMB] int32
+  chroma_mode [nMB] int32
+  i4_avail    [nMB,16,4] int32  per-block (left, top, topleft, topright)
+  i8_avail    [nMB,4,4]  int32
+  mb_avail    [nMB,3]    int32  MB-level (left, top, topleft) for I16/chroma
+  pcm         [nMB,384]  int32  raw samples for IPCM MBs (else 0)
+  nz          [nMB,4,4]  int32  deblock coded-flag per 4x4 (8x8-ORed for tr8)
+  tr8         [nMB] int32
+  slice_id / disable_idc / alpha_off / beta_off  [nMB] int32
+  mv          [nMB,4,4,2,2] int32   (y4,x4,list,(x,y))  inter only
+  refid       [nMB,4,4,2]   int32   unique DPB picture id, -1 unused
+
+Reference parity: this replaces the JM-lineage per-MB struct soup
+(`macroblock.c`) with dense tensors (SURVEY.md §2 TPU re-layering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.tables import BLK4_X, BLK4_Y, RASTER_TO_BLK4, ZIGZAG_4x4, ZIGZAG_8x8
+from ..mb.parse import PictureParse
+from ..mb.types import MB_I4x4, MB_I8x8, MB_I16x16, MB_IPCM
+
+KIND_I4x4, KIND_I8x8, KIND_I16, KIND_IPCM, KIND_P, KIND_B = range(6)
+
+_CAT_TO_KIND = {MB_I4x4: KIND_I4x4, MB_I8x8: KIND_I8x8,
+                MB_I16x16: KIND_I16, MB_IPCM: KIND_IPCM}
+
+_ZZ4 = np.array(ZIGZAG_4x4)
+_ZZ8 = np.array(ZIGZAG_8x8)
+
+
+def _unscan4(levels16: np.ndarray) -> np.ndarray:
+    out = np.zeros(16, np.int32)
+    out[_ZZ4] = levels16
+    return out.reshape(4, 4)
+
+
+def _unscan8(levels64: np.ndarray) -> np.ndarray:
+    out = np.zeros(64, np.int32)
+    out[_ZZ8] = levels64
+    return out.reshape(8, 8)
+
+
+class FrameABI(dict):
+    """dict of numpy arrays keyed as in the module docstring."""
+
+    @property
+    def n_mb(self) -> int:
+        return self["kind"].shape[0]
+
+
+def pack_frame(pic: PictureParse) -> FrameABI:
+    mb_w, mb_h = pic.mb_w, pic.mb_h
+    n = mb_w * mb_h
+    abi = FrameABI(
+        kind=np.zeros(n, np.int32),
+        qp=np.zeros(n, np.int32),
+        luma4=np.zeros((n, 16, 4, 4), np.int32),
+        luma8=np.zeros((n, 4, 8, 8), np.int32),
+        luma_dc=np.zeros((n, 4, 4), np.int32),
+        chroma_dc=np.zeros((n, 2, 2, 2), np.int32),
+        chroma_ac=np.zeros((n, 2, 2, 2, 4, 4), np.int32),
+        i4_modes=np.full((n, 16), 2, np.int32),
+        i8_modes=np.full((n, 4), 2, np.int32),
+        i16_mode=np.zeros(n, np.int32),
+        chroma_mode=np.zeros(n, np.int32),
+        i4_avail=np.zeros((n, 16, 4), np.int32),
+        i8_avail=np.zeros((n, 4, 4), np.int32),
+        mb_avail=np.zeros((n, 3), np.int32),
+        pcm=np.zeros((n, 384), np.int32),
+        nz=np.zeros((n, 4, 4), np.int32),
+        tr8=np.zeros(n, np.int32),
+        slice_id=np.zeros(n, np.int32),
+        disable_idc=np.zeros(n, np.int32),
+        alpha_off=np.zeros(n, np.int32),
+        beta_off=np.zeros(n, np.int32),
+        mv=np.zeros((n, 4, 4, 2, 2), np.int32),
+        refid=np.full((n, 4, 4, 2), -1, np.int32),
+        mb_w=mb_w, mb_h=mb_h,
+    )
+
+    def mb_avail_intra(nb_x, nb_y, cur) -> bool:
+        if nb_x < 0 or nb_y < 0 or nb_x >= mb_w or nb_y >= mb_h:
+            return False
+        if nb_y * mb_w + nb_x >= cur.mb_y * mb_w + cur.mb_x:
+            return False
+        if pic.slice_map[nb_y, nb_x] != cur.slice_id:
+            return False
+        nb = pic.mbs[nb_y * mb_w + nb_x]
+        if pic.pps.constrained_intra_pred_flag and not nb.is_intra:
+            return False
+        return True
+
+    def blk_avail_intra(bx, by, cur, cur_blk) -> bool:
+        if bx < 0 or by < 0 or bx >= mb_w * 4 or by >= mb_h * 4:
+            return False
+        nb_mbx, nb_mby = bx // 4, by // 4
+        if (nb_mbx, nb_mby) == (cur.mb_x, cur.mb_y):
+            return RASTER_TO_BLK4[(bx % 4) + 4 * (by % 4)] < cur_blk
+        return mb_avail_intra(nb_mbx, nb_mby, cur)
+
+    for addr, mb in enumerate(pic.mbs):
+        k = _CAT_TO_KIND[mb.category]
+        abi["kind"][addr] = k
+        abi["qp"][addr] = mb.qp
+        abi["tr8"][addr] = int(mb.transform_8x8)
+        abi["nz"][addr] = (mb.tc_luma > 0).astype(np.int32)
+        if mb.transform_8x8:
+            nz = abi["nz"][addr]
+            for y8 in range(2):
+                for x8 in range(2):
+                    q = nz[2 * y8:2 * y8 + 2, 2 * x8:2 * x8 + 2].any()
+                    nz[2 * y8:2 * y8 + 2, 2 * x8:2 * x8 + 2] = int(q)
+        hdr = pic.headers[mb.slice_id]
+        abi["slice_id"][addr] = mb.slice_id
+        abi["disable_idc"][addr] = hdr.disable_deblocking_filter_idc
+        abi["alpha_off"][addr] = 2 * hdr.slice_alpha_c0_offset_div2
+        abi["beta_off"][addr] = 2 * hdr.slice_beta_offset_div2
+        abi["mb_avail"][addr] = [
+            mb_avail_intra(mb.mb_x - 1, mb.mb_y, mb),
+            mb_avail_intra(mb.mb_x, mb.mb_y - 1, mb),
+            mb_avail_intra(mb.mb_x - 1, mb.mb_y - 1, mb),
+        ]
+
+        if mb.category == MB_IPCM:
+            abi["pcm"][addr] = mb.pcm_samples.astype(np.int32)
+            abi["qp"][addr] = 0  # deblock qp; PCM has no residual path
+            continue
+
+        # chroma residual
+        if mb.cbp_chroma:
+            for pl in range(2):
+                abi["chroma_dc"][addr, pl] = mb.chroma_dc[pl].reshape(2, 2)
+                for blk in range(4):
+                    abi["chroma_ac"][addr, pl, blk // 2, blk % 2] = \
+                        _unscan4(mb.chroma_ac[pl, blk])
+
+        if mb.category == MB_I16x16:
+            abi["i16_mode"][addr] = mb.i16_mode
+            abi["chroma_mode"][addr] = mb.chroma_mode
+            abi["luma_dc"][addr] = _unscan4(mb.luma_dc)
+            for blk in range(16):
+                r = BLK4_Y[blk] * 4 + BLK4_X[blk]
+                abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk])
+        elif mb.category == MB_I8x8:
+            abi["chroma_mode"][addr] = mb.chroma_mode
+            for blk in range(4):
+                abi["luma8"][addr, blk] = _unscan8(mb.luma_levels[blk])
+                abi["i8_modes"][addr, blk] = mb.i8_modes[blk]
+                bx = mb.mb_x * 4 + (blk % 2) * 2
+                by = mb.mb_y * 4 + (blk // 2) * 2
+                cur_blk4 = RASTER_TO_BLK4[(bx % 4) + 4 * (by % 4)]
+                abi["i8_avail"][addr, blk] = [
+                    blk_avail_intra(bx - 1, by, mb, cur_blk4),
+                    blk_avail_intra(bx, by - 1, mb, cur_blk4),
+                    blk_avail_intra(bx - 1, by - 1, mb, cur_blk4),
+                    blk_avail_intra(bx + 2, by - 1, mb, cur_blk4),
+                ]
+        elif mb.category == MB_I4x4:
+            abi["chroma_mode"][addr] = mb.chroma_mode
+            for blk in range(16):
+                r = BLK4_Y[blk] * 4 + BLK4_X[blk]
+                abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk])
+                abi["i4_modes"][addr, r] = mb.i4_modes[blk]
+                bx = mb.mb_x * 4 + BLK4_X[blk]
+                by = mb.mb_y * 4 + BLK4_Y[blk]
+                abi["i4_avail"][addr, r] = [
+                    blk_avail_intra(bx - 1, by, mb, blk),
+                    blk_avail_intra(bx, by - 1, mb, blk),
+                    blk_avail_intra(bx - 1, by - 1, mb, blk),
+                    blk_avail_intra(bx + 1, by - 1, mb, blk),
+                ]
+    return abi

@@ -1,0 +1,42 @@
+"""Device (JAX) pipeline conformance: bit-exact vs libavcodec golden (config 1)."""
+
+import numpy as np
+import pytest
+
+from arrow_h264_tpu.api import Decoder
+from tools import streams
+
+
+def _decode_device(path: str) -> np.ndarray:
+    dec = Decoder()
+    frames = []
+    for f in dec.decode_annexb(open(path, "rb").read()):
+        frames.append(np.frombuffer(f.planar(), np.uint8))
+    return np.stack(frames)
+
+
+@pytest.mark.parametrize("qp", [18, 30, 44])
+def test_device_config1(h264ref, tmp_path, qp):
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 2, seed=qp + 1)
+    path = str(tmp_path / f"d1_qp{qp}.264")
+    opts = ["profile=baseline", f"qp={qp}", "g=1", "bf=0", "refs=1",
+            f"x264-params=cabac=0:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_device(path)
+    assert ours.shape == golden.shape
+    if not np.array_equal(ours, golden):
+        ysz = gw * gh
+        for f in range(ours.shape[0]):
+            dy = int((ours[f, :ysz] != golden[f, :ysz]).sum())
+            dc = int((ours[f, ysz:] != golden[f, ysz:]).sum())
+            if dy or dc:
+                yo = ours[f, :ysz].reshape(gh, gw).astype(int)
+                yg = golden[f, :ysz].reshape(gh, gw).astype(int)
+                pos = np.argwhere(yo != yg)
+                msg = f"frame {f}: {dy} luma / {dc} chroma diffs"
+                if len(pos):
+                    py, px = pos[0]
+                    msg += f"; first at ({px},{py}): {yo[py,px]} vs {yg[py,px]}"
+                raise AssertionError(msg)
