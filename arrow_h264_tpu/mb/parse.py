@@ -39,6 +39,12 @@ class PictureParse:
         self.mode_map = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
         self.slice_map = np.full((self.mb_h, self.mb_w), -1, np.int32)
         self.headers: list[SliceHeader] = []
+        # motion grids at 4x4 granularity (spec 8.4.1); list-major
+        self.mv_grid = np.zeros((2, self.mb_h * 4, self.mb_w * 4, 2), np.int32)
+        self.ref_grid = np.full((2, self.mb_h * 4, self.mb_w * 4), -1, np.int8)
+        self.filled = np.zeros((self.mb_h * 4, self.mb_w * 4), bool)
+        # per-slice reference lists (DPBPicture lists), set by the driver
+        self.slice_reflists: list[tuple] = []
 
     # -- neighbor helpers ---------------------------------------------------
 
@@ -192,6 +198,8 @@ class PictureParse:
         sps, pps = self.sps, self.pps
         mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cur_slice)
         mb.tc_luma = np.zeros((4, 4), np.int32)
+        # intra MB: motion grid cells filled with "intra" markers (ref -1)
+        self.filled[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = True
 
         if mb_type == 25:  # I_PCM
             mb.category = MB_IPCM
@@ -282,25 +290,222 @@ class PictureParse:
         self._parse_residual_chroma(r, mb, mb_x, mb_y, cur_slice)
         return mb, prev_qp
 
+    # -- motion vector prediction (spec 8.4.1.3) ----------------------------
+
+    def _mv_neighbor(self, lst: int, px: int, py: int, cur_slice: int):
+        """Returns (available, ref, mv) for the 4x4 block covering (px, py)."""
+        if px < 0 or py < 0 or px >= self.mb_w * 16 or py >= self.mb_h * 16:
+            return False, -1, (0, 0)
+        bx, by = px >> 2, py >> 2
+        if not self.filled[by, bx]:
+            return False, -1, (0, 0)
+        if self.slice_map[by // 4, bx // 4] != cur_slice:
+            return False, -1, (0, 0)
+        ref = int(self.ref_grid[lst, by, bx])
+        mv = (int(self.mv_grid[lst, by, bx, 0]), int(self.mv_grid[lst, by, bx, 1]))
+        if ref < 0:
+            return True, -1, (0, 0)   # intra or list-unused neighbor
+        return True, ref, mv
+
+    def predict_mv(self, lst: int, ref_idx: int, x0: int, y0: int,
+                   w: int, h: int, cur_slice: int, part_kind: int = 0):
+        """Luma MV predictor (spec 8.4.1.3).  x0/y0/w/h in pixels, absolute.
+
+        part_kind: 0 = general, 1 = 16x8 upper, 2 = 16x8 lower,
+                   3 = 8x16 left, 4 = 8x16 right.
+        """
+        av_a, ref_a, mv_a = self._mv_neighbor(lst, x0 - 1, y0, cur_slice)
+        av_b, ref_b, mv_b = self._mv_neighbor(lst, x0, y0 - 1, cur_slice)
+        av_c, ref_c, mv_c = self._mv_neighbor(lst, x0 + w, y0 - 1, cur_slice)
+        if not av_c:
+            av_c, ref_c, mv_c = self._mv_neighbor(lst, x0 - 1, y0 - 1, cur_slice)
+        if part_kind == 1 and ref_b == ref_idx:
+            return mv_b
+        if part_kind == 2 and ref_a == ref_idx:
+            return mv_a
+        if part_kind == 3 and ref_a == ref_idx:
+            return mv_a
+        if part_kind == 4 and ref_c == ref_idx:
+            return mv_c
+        if not av_b and not av_c and av_a:
+            return mv_a
+        matches = [(ref_a == ref_idx, mv_a), (ref_b == ref_idx, mv_b),
+                   (ref_c == ref_idx, mv_c)]
+        hits = [mv for m, mv in matches if m]
+        if len(hits) == 1:
+            return hits[0]
+        med = tuple(sorted((mv_a[i], mv_b[i], mv_c[i]))[1] for i in range(2))
+        return med
+
+    def skip_mv(self, x0: int, y0: int, cur_slice: int):
+        """P_Skip motion vector (spec 8.4.1.1)."""
+        av_a, ref_a, mv_a = self._mv_neighbor(0, x0 - 1, y0, cur_slice)
+        av_b, ref_b, mv_b = self._mv_neighbor(0, x0, y0 - 1, cur_slice)
+        if (not av_a) or (not av_b) or \
+                (ref_a == 0 and mv_a == (0, 0)) or \
+                (ref_b == 0 and mv_b == (0, 0)):
+            return (0, 0)
+        return self.predict_mv(0, 0, x0, y0, 16, 16, cur_slice)
+
+    def _set_part(self, mb: MBRecord, lst: int, x0: int, y0: int,
+                  w: int, h: int, ref: int, mv) -> None:
+        """Write a partition's motion into the grids and the MB record."""
+        bx0, by0 = x0 >> 2, y0 >> 2
+        self.mv_grid[lst, by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = mv
+        self.ref_grid[lst, by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = ref
+        self.filled[by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = True
+        ly0, lx0 = by0 - mb.mb_y * 4, bx0 - mb.mb_x * 4
+        mb.mvs[lst, ly0:ly0 + (h >> 2), lx0:lx0 + (w >> 2)] = mv
+        mb.refidx[lst, ly0:ly0 + (h >> 2), lx0:lx0 + (w >> 2)] = ref
+
+    # -- inter macroblocks (P), spec 7.3.5.1 / 7.4.5.1 ----------------------
+
+    def parse_p_skip(self, mb_x: int, mb_y: int, cur_slice: int,
+                     prev_qp: int) -> MBRecord:
+        from .types import MB_PSKIP
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cur_slice)
+        mb.category = MB_PSKIP
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+        mb.mvs = np.zeros((2, 4, 4, 2), np.int32)
+        mb.refidx = np.full((2, 4, 4), -1, np.int8)
+        mb.qp = prev_qp
+        self.mbs[mb_y * self.mb_w + mb_x] = mb
+        self.slice_map[mb_y, mb_x] = cur_slice
+        mv = self.skip_mv(mb_x * 16, mb_y * 16, cur_slice)
+        self._set_part(mb, 0, mb_x * 16, mb_y * 16, 16, 16, 0, mv)
+        return mb
+
+    def parse_p_mb(self, r: BitReader, mb_type: int, mb_x: int, mb_y: int,
+                   cur_slice: int, prev_qp: int, hdr: SliceHeader):
+        """Parse one P macroblock (CAVLC, mb_type 0..4)."""
+        from .types import MB_P, P_SHAPES, P_SUB_SHAPES
+        pps = self.pps
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cur_slice)
+        mb.category = MB_P
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+        mb.mvs = np.zeros((2, 4, 4, 2), np.int32)
+        mb.refidx = np.full((2, 4, 4), -1, np.int8)
+        self.mbs[mb_y * self.mb_w + mb_x] = mb
+        self.slice_map[mb_y, mb_x] = cur_slice
+        x0, y0 = mb_x * 16, mb_y * 16
+        n_ref = hdr.num_ref_idx_l0_active
+        n_parts, pw, ph = P_SHAPES[mb_type]
+
+        if mb_type == 3 or mb_type == 4:
+            sub_types = [r.ue() for _ in range(4)]
+            for st in sub_types:
+                if st > 3:
+                    raise ValueError(f"bad P sub_mb_type {st}")
+            refs = []
+            for i8 in range(4):
+                if mb_type == 4 or n_ref == 1:
+                    refs.append(0)
+                else:
+                    refs.append(r.te(n_ref - 1))
+            # all mvds after all refs, in sub-partition order
+            for i8 in range(4):
+                sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                ns, sw, sh = P_SUB_SHAPES[sub_types[i8]]
+                for s in range(ns):
+                    if sw == 8 and sh == 8:
+                        px, py = sx0, sy0
+                    elif sw == 8:   # 8x4
+                        px, py = sx0, sy0 + s * 4
+                    elif sh == 8:   # 4x8
+                        px, py = sx0 + s * 4, sy0
+                    else:           # 4x4
+                        px, py = sx0 + (s % 2) * 4, sy0 + (s // 2) * 4
+                    mvd = (r.se(), r.se())
+                    mvp = self.predict_mv(0, refs[i8], px, py, sw, sh,
+                                          cur_slice)
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    self._set_part(mb, 0, px, py, sw, sh, refs[i8], mv)
+        else:
+            refs = []
+            for p in range(n_parts):
+                refs.append(r.te(n_ref - 1) if n_ref > 1 else 0)
+            for p in range(n_parts):
+                if mb_type == 0:
+                    px, py, kind = x0, y0, 0
+                elif mb_type == 1:     # 16x8
+                    px, py, kind = x0, y0 + p * 8, 1 + p
+                else:                  # 8x16
+                    px, py, kind = x0 + p * 8, y0, 3 + p
+                mvd = (r.se(), r.se())
+                mvp = self.predict_mv(0, refs[p], px, py, pw, ph, cur_slice,
+                                      part_kind=kind)
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                self._set_part(mb, 0, px, py, pw, ph, refs[p], mv)
+
+        # coded_block_pattern (Table 9-4, inter column)
+        code = r.ue()
+        if code >= len(CBP_ME):
+            raise ValueError(f"bad cbp code {code}")
+        cbp = CBP_ME[code][1]
+        mb.cbp_luma = cbp & 15
+        mb.cbp_chroma = cbp >> 4
+        if mb.cbp_luma and pps.transform_8x8_mode_flag:
+            no_small = mb_type not in (3, 4) or all(
+                st == 0 for st in sub_types)
+            if no_small:
+                mb.transform_8x8 = bool(r.u1())
+        if mb.cbp_luma or mb.cbp_chroma:
+            delta = r.se()
+            if delta < -26 or delta > 25:
+                raise ValueError(f"mb_qp_delta out of range: {delta}")
+            prev_qp = (prev_qp + delta + 52) % 52
+        mb.qp = prev_qp
+        if mb.transform_8x8:
+            mb.luma_levels = self._parse_residual_luma_8x8(r, mb, mb_x, mb_y,
+                                                           cur_slice)
+        else:
+            mb.luma_levels = self._parse_residual_luma_4x4(
+                r, mb, mb_x, mb_y, cur_slice, ac_only=False)
+        self._parse_residual_chroma(r, mb, mb_x, mb_y, cur_slice)
+        return mb, prev_qp
+
     # -- slice driver ---------------------------------------------------------
 
-    def parse_slice(self, r: BitReader, hdr: SliceHeader) -> None:
-        """Parse slice_data for an I slice (CAVLC)."""
+    def parse_slice(self, r: BitReader, hdr: SliceHeader,
+                    reflists: tuple = ((), ())) -> None:
+        """Parse slice_data (CAVLC I/P slices)."""
         if self.pps.entropy_coding_mode_flag:
             raise NotImplementedError("CABAC slice data not yet supported")
-        if not hdr.is_i:
-            raise NotImplementedError("P/B slice data not yet supported")
+        if hdr.is_b:
+            raise NotImplementedError("B slice data not yet supported")
         cur_slice = len(self.headers)
         self.headers.append(hdr)
+        self.slice_reflists.append(reflists)
         prev_qp = hdr.qp(self.pps)
         addr = hdr.first_mb_in_slice
         n = self.mb_w * self.mb_h
         while True:
             if addr >= n:
                 raise ValueError("slice data overruns picture")
+            if hdr.is_p:
+                skip_run = r.ue()
+                for _ in range(skip_run):
+                    if addr >= n:
+                        raise ValueError("mb_skip_run overruns picture")
+                    mb_x, mb_y = addr % self.mb_w, addr // self.mb_w
+                    self.parse_p_skip(mb_x, mb_y, cur_slice, prev_qp)
+                    addr += 1
+                if not r.more_rbsp_data():
+                    break
+                if addr >= n:
+                    raise ValueError("slice data overruns picture")
             mb_x, mb_y = addr % self.mb_w, addr // self.mb_w
             mb_type = r.ue()
-            _, prev_qp = self.parse_i_mb(r, mb_type, mb_x, mb_y, cur_slice, prev_qp)
+            if hdr.is_p:
+                if mb_type >= 5:
+                    _, prev_qp = self.parse_i_mb(r, mb_type - 5, mb_x, mb_y,
+                                                 cur_slice, prev_qp)
+                else:
+                    _, prev_qp = self.parse_p_mb(r, mb_type, mb_x, mb_y,
+                                                 cur_slice, prev_qp, hdr)
+            else:
+                _, prev_qp = self.parse_i_mb(r, mb_type, mb_x, mb_y,
+                                             cur_slice, prev_qp)
             addr += 1
             if not r.more_rbsp_data():
                 break

@@ -1,0 +1,70 @@
+"""Synthetic ABI frames for compile checks and benchmarks (no bitstream)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .abi import KIND_I4x4, KIND_I16, FrameABI
+
+
+def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
+                  qp: int = 26) -> FrameABI:
+    """A structurally valid single-slice I-frame ABI with random content."""
+    rng = np.random.default_rng(seed)
+    n = mb_w * mb_h
+    kind = rng.choice([KIND_I4x4, KIND_I16], n).astype(np.int32)
+    abi = FrameABI(
+        kind=kind,
+        qp=np.full(n, qp, np.int32),
+        luma4=rng.integers(-8, 9, (n, 16, 4, 4)).astype(np.int32),
+        luma8=np.zeros((n, 4, 8, 8), np.int32),
+        luma_dc=rng.integers(-16, 17, (n, 4, 4)).astype(np.int32),
+        chroma_dc=rng.integers(-8, 9, (n, 2, 2, 2)).astype(np.int32),
+        chroma_ac=rng.integers(-4, 5, (n, 2, 2, 2, 4, 4)).astype(np.int32),
+        i4_modes=np.full((n, 16), 2, np.int32),
+        i8_modes=np.full((n, 4), 2, np.int32),
+        i16_mode=rng.integers(0, 3, n).astype(np.int32),
+        chroma_mode=np.zeros(n, np.int32),
+        i4_avail=np.zeros((n, 16, 4), np.int32),
+        i8_avail=np.zeros((n, 4, 4), np.int32),
+        mb_avail=np.zeros((n, 3), np.int32),
+        pcm=np.zeros((n, 384), np.int32),
+        nz=(rng.random((n, 4, 4)) < 0.5).astype(np.int32),
+        tr8=np.zeros(n, np.int32),
+        slice_id=np.zeros(n, np.int32),
+        disable_idc=np.zeros(n, np.int32),
+        alpha_off=np.zeros(n, np.int32),
+        beta_off=np.zeros(n, np.int32),
+        mv=np.zeros((n, 4, 4, 2, 2), np.int32),
+        refid=np.full((n, 4, 4, 2), -1, np.int32),
+        mb_w=mb_w, mb_h=mb_h,
+    )
+    # geometric availability (single slice, raster order, no constrained intra)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            a = my * mb_w + mx
+            abi["mb_avail"][a] = [mx > 0, my > 0, mx > 0 and my > 0]
+            for y4 in range(4):
+                for x4 in range(4):
+                    bx, by = mx * 4 + x4, my * 4 + y4
+                    r = y4 * 4 + x4
+                    al = bx > 0
+                    at = by > 0
+                    atl = al and at
+                    # top-right availability per spec block order: unavailable
+                    # for in-MB blocks whose TR neighbor decodes later
+                    atr = by > 0 and bx + 1 < mb_w * 4 and not (
+                        y4 > 0 and (x4 == 3 or (x4 % 2 == 1 and y4 % 2 == 1)))
+                    abi["i4_avail"][a, r] = [al, at, atl, atr]
+                    mode = int(rng.integers(0, 9))
+                    if mode != 2:
+                        # keep modes consistent with availability
+                        need_t = mode in (0, 3, 7)
+                        need_l = mode in (1, 8)
+                        need_both = mode in (4, 5, 6)
+                        if (need_t and not at) or (need_l and not al) or \
+                                (need_both and not (al and at and atl)) or \
+                                (mode in (3, 7) and not at):
+                            mode = 2
+                    abi["i4_modes"][a, r] = mode
+    return abi

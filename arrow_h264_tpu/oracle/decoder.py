@@ -16,6 +16,7 @@ from ..bitstream import nal
 from ..bitstream.bits import BitReader
 from ..bitstream.params import PPS, SPS, parse_pps, parse_sps
 from ..bitstream.slicehdr import parse_slice_header
+from ..dpb import DPB
 from ..mb.parse import PictureParse
 from ..mb.types import MB_IPCM
 from .deblock import DeblockMeta, deblock_frame
@@ -49,8 +50,16 @@ def build_deblock_meta(pic: PictureParse) -> DeblockMeta:
         nz[my, mx] = blk_nz
         if mb.mvs is not None:
             mv[my, mx] = np.moveaxis(mb.mvs, 0, 2)  # [y4,x4,list,2]
-        if mb.refidx is not None:
-            refid[my, mx] = np.moveaxis(mb.refidx, 0, 2)
+        if mb.refidx is not None and not mb.is_intra:
+            # bS compares PICTURES, not ref indices: map refidx -> DPB uid
+            ridx = np.moveaxis(mb.refidx, 0, 2).astype(np.int32)  # [4,4,2]
+            l0, l1 = pic.slice_reflists[mb.slice_id]
+            for lst, lref in ((0, l0), (1, l1)):
+                if len(lref):
+                    uids = np.array([p.uid for p in lref], np.int32)
+                    r_ = ridx[..., lst]
+                    refid[my, mx, :, :, lst] = np.where(
+                        r_ >= 0, uids[np.clip(r_, 0, len(uids) - 1)], -1)
         slice_id[my, mx] = mb.slice_id
         hdr = pic.headers[mb.slice_id]
         disable[my, mx] = hdr.disable_deblocking_filter_idc
@@ -78,15 +87,18 @@ def crop_planes(sps: SPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
 
 
 class OracleDecoder:
-    """Minimal decode driver: currently I-only CAVLC pictures (config 1)."""
+    """Decode driver: I/P CAVLC pictures with a full DPB (configs 1-2)."""
 
     def __init__(self) -> None:
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
+        self.dpb: DPB | None = None
+        self._dpb_sps_id: int | None = None
 
     def decode_annexb(self, data: bytes):
         """Yield (y, cb, cr) uint8 planes in output order."""
         cur_pic: PictureParse | None = None
+        cur_poc = 0
         for u in nal.parse_annexb(data):
             if u.nal_unit_type == nal.NAL_SPS:
                 s = parse_sps(u.rbsp)
@@ -96,10 +108,6 @@ class OracleDecoder:
                 self.pps_map[p.pic_parameter_set_id] = p
             elif u.is_slice:
                 r = BitReader(u.rbsp)
-                # peek pps id: first_mb ue, slice_type ue, pps ue
-                first_mb = r.ue()
-                r.pos = 0
-                # need pps to parse header fully; pre-scan pps id
                 r2 = BitReader(u.rbsp)
                 r2.ue()
                 r2.ue()
@@ -109,19 +117,40 @@ class OracleDecoder:
                                          u.nal_ref_idc)
                 if hdr.first_mb_in_slice == 0:
                     if cur_pic is not None:
-                        yield self._finish_picture(cur_pic)
+                        yield from self._finish_picture(cur_pic, cur_poc)
+                    if self.dpb is None or self._dpb_sps_id != \
+                            sps.seq_parameter_set_id:
+                        self.dpb = DPB(sps)
+                        self._dpb_sps_id = sps.seq_parameter_set_id
                     cur_pic = PictureParse(sps, pps)
+                    cur_poc = self.dpb.compute_poc(hdr)
                 if cur_pic is None:
                     raise ValueError("slice without picture start")
-                cur_pic.parse_slice(r, hdr)
+                reflists = ((), ())
+                if hdr.is_p:
+                    reflists = (self.dpb.init_list_p(hdr), ())
+                elif hdr.is_b:
+                    reflists = self.dpb.init_lists_b(hdr, cur_poc)
+                cur_pic.parse_slice(r, hdr, reflists)
         if cur_pic is not None:
-            yield self._finish_picture(cur_pic)
+            yield from self._finish_picture(cur_pic, cur_poc)
+        if self.dpb is not None:
+            for planes in self.dpb.flush():
+                yield self._emit(planes)
 
-    def _finish_picture(self, pic: PictureParse):
+    def _finish_picture(self, pic: PictureParse, poc: int):
         y, cb, cr = Reconstructor(pic).run()
         y = y.astype(np.uint8)
         cb = cb.astype(np.uint8)
         cr = cr.astype(np.uint8)
         meta = build_deblock_meta(pic)
         deblock_frame(y, cb, cr, meta)
-        return crop_planes(pic.sps, y, cb, cr)
+        hdr = pic.headers[0]
+        outputs = self.dpb.store((y, cb, cr, pic.sps), hdr, poc)
+        for planes in outputs:
+            yield self._emit(planes)
+
+    @staticmethod
+    def _emit(planes):
+        y, cb, cr, sps = planes
+        return crop_planes(sps, y, cb, cr)

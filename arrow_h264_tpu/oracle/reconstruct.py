@@ -17,8 +17,9 @@ from ..common.tables import (
     BLK4_X, BLK4_Y, BLK8_X, BLK8_Y, RASTER_TO_BLK4, chroma_qp,
 )
 from ..mb.parse import PictureParse
-from ..mb.types import MB_I16x16, MB_IPCM, MBRecord
+from ..mb.types import MB_I16x16, MB_IPCM, MB_PSKIP, MBRecord
 from . import intra as ip
+from .inter import chroma_block_mc, luma_block_mc, weight_uni
 from .transforms import (
     chroma_dc_dequant, dequant4x4, dequant8x8, idct4x4, idct8x8,
     inverse_scan_4x4, inverse_scan_8x8, luma_dc_dequant,
@@ -162,6 +163,76 @@ class Reconstructor:
             res[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4] = idct4x4(d)
         self.y[y0:y0 + 16, x0:x0 + 16] = _clip_u8(pred + res)
 
+    # -- inter (P) ----------------------------------------------------------
+
+    def _recon_inter(self, mb: MBRecord) -> None:
+        """MC + residual for P macroblocks, per 4x4 luma / 2x2 chroma block."""
+        hdr = self.pic.headers[mb.slice_id]
+        l0 = self.pic.slice_reflists[mb.slice_id][0]
+        x0, y0 = mb.mb_x * 16, mb.mb_y * 16
+        weighted = bool(self.pps.weighted_pred_flag) and hdr.is_p
+        pred_y = np.zeros((16, 16), np.int32)
+        pred_c = [np.zeros((8, 8), np.int32), np.zeros((8, 8), np.int32)]
+        for y4 in range(4):
+            for x4 in range(4):
+                ref_idx = int(mb.refidx[0, y4, x4])
+                mvx = int(mb.mvs[0, y4, x4, 0])
+                mvy = int(mb.mvs[0, y4, x4, 1])
+                ref = l0[ref_idx]
+                ry, rcb, rcr = ref.planes[0], ref.planes[1], ref.planes[2]
+                py = luma_block_mc(ry, x0 + 4 * x4, y0 + 4 * y4, mvx, mvy, 4, 4)
+                pcb = chroma_block_mc(rcb, x0 // 2 + 2 * x4, y0 // 2 + 2 * y4,
+                                      mvx, mvy, 2, 2)
+                pcr = chroma_block_mc(rcr, x0 // 2 + 2 * x4, y0 // 2 + 2 * y4,
+                                      mvx, mvy, 2, 2)
+                if weighted:
+                    pw = hdr.pred_weights_l0[ref_idx]
+                    py = weight_uni(py, pw.luma_weight, pw.luma_offset,
+                                    hdr.luma_log2_weight_denom)
+                    pcb = weight_uni(pcb, pw.chroma_weight[0],
+                                     pw.chroma_offset[0],
+                                     hdr.chroma_log2_weight_denom)
+                    pcr = weight_uni(pcr, pw.chroma_weight[1],
+                                     pw.chroma_offset[1],
+                                     hdr.chroma_log2_weight_denom)
+                pred_y[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4] = py
+                pred_c[0][2 * y4:2 * y4 + 2, 2 * x4:2 * x4 + 2] = pcb
+                pred_c[1][2 * y4:2 * y4 + 2, 2 * x4:2 * x4 + 2] = pcr
+        # luma residual (inter scaling lists)
+        res = np.zeros((16, 16), np.int64)
+        if mb.category != MB_PSKIP and mb.cbp_luma:
+            if mb.transform_8x8:
+                ws = self.ws8[1]
+                for blk in range(4):
+                    d = dequant8x8(inverse_scan_8x8(mb.luma_levels[blk]),
+                                   mb.qp, ws)
+                    x8, y8 = BLK8_X[blk], BLK8_Y[blk]
+                    res[8 * y8:8 * y8 + 8, 8 * x8:8 * x8 + 8] = idct8x8(d)
+            else:
+                ws = self.ws4[3]
+                for blk in range(16):
+                    d = dequant4x4(inverse_scan_4x4(mb.luma_levels[blk]),
+                                   mb.qp, ws)
+                    x4, y4 = BLK4_X[blk], BLK4_Y[blk]
+                    res[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4] = idct4x4(d)
+        self.y[y0:y0 + 16, x0:x0 + 16] = _clip_u8(pred_y + res)
+        # chroma residual
+        cx, cy = mb.mb_x * 8, mb.mb_y * 8
+        for pl, plane in ((0, self.cb), (1, self.cr)):
+            resc = np.zeros((8, 8), np.int64)
+            if mb.category != MB_PSKIP and mb.cbp_chroma:
+                qpc = chroma_qp(mb.qp, self.pps.chroma_qp_offset(pl))
+                ws = self.ws4[4 + pl]
+                dc = chroma_dc_dequant(mb.chroma_dc[pl].reshape(2, 2), qpc,
+                                       int(ws[0, 0]))
+                for blk in range(4):
+                    x2, y2 = blk % 2, blk // 2
+                    c = inverse_scan_4x4(mb.chroma_ac[pl, blk])
+                    d = dequant4x4(c, qpc, ws, dc_passthrough=True)
+                    d[0, 0] = dc[y2, x2]
+                    resc[4 * y2:4 * y2 + 4, 4 * x2:4 * x2 + 4] = idct4x4(d)
+            plane[cy:cy + 8, cx:cx + 8] = _clip_u8(pred_c[pl] + resc)
+
     # -- chroma -------------------------------------------------------------
 
     def _recon_chroma(self, mb: MBRecord) -> None:
@@ -191,6 +262,9 @@ class Reconstructor:
     # -- driver ---------------------------------------------------------------
 
     def recon_mb(self, mb: MBRecord) -> None:
+        if not mb.is_intra:
+            self._recon_inter(mb)
+            return
         if mb.category == MB_IPCM:
             x0, y0 = mb.mb_x * 16, mb.mb_y * 16
             s = mb.pcm_samples

@@ -10,10 +10,16 @@ import subprocess
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize force-registers the TPU platform at interpreter
+# start; jax.config wins over it if set before first backend use.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))

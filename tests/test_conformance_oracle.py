@@ -53,3 +53,33 @@ def test_config1_i_only_qcif_cavlc(h264ref, tmp_path, qp):
     assert (gw, gh) == (w, h)
     ours = _decode_ours(path)
     _compare(ours, golden, w, h)
+
+
+@pytest.mark.parametrize("qp", [22, 30])
+def test_config2_p_frames_cif_cavlc(h264ref, tmp_path, qp):
+    """Config 2: Baseline P-frames, quarter-pel MC, single reference."""
+    w, h = 352, 288
+    yuv = streams.make_content(w, h, 6, seed=qp)
+    path = str(tmp_path / f"c2_qp{qp}.264")
+    opts = ["profile=baseline", f"qp={qp}", "g=250", "bf=0", "refs=1",
+            "keyint_min=25",
+            f"x264-params=cabac=0:subme=6:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    assert (gw, gh) == (w, h)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)
+
+
+def test_config2_multiref_and_slices(h264ref, tmp_path):
+    """P-frames with 4 refs (te(v) ref_idx, sliding window) + 2 slices/frame."""
+    w, h = 320, 240
+    yuv = streams.make_content(w, h, 8, seed=5)
+    path = str(tmp_path / "c2_mr.264")
+    opts = ["profile=baseline", "qp=27", "g=250", "bf=0", "refs=4",
+            "keyint_min=25",
+            "x264-params=cabac=0:subme=7:slices=2:threads=1:scenecut=0:rc-lookahead=0"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)
