@@ -22,6 +22,7 @@ from .bitstream import nal
 from .bitstream.bits import BitReader
 from .bitstream.params import PPS, SPS, parse_pps, parse_sps
 from .bitstream.slicehdr import parse_slice_header
+from .dpb import DPB
 from .mb.parse import PictureParse
 from .models.pipeline import DevicePipeline
 from .oracle.decoder import crop_planes
@@ -49,12 +50,14 @@ class Frame:
 
 
 class Decoder:
-    """TPU-pipeline H.264 decoder (Baseline I-only CAVLC so far — config 1)."""
+    """TPU-pipeline H.264 decoder (Baseline CAVLC I/P — configs 1-2)."""
 
     def __init__(self) -> None:
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self._pipelines: dict[tuple, DevicePipeline] = {}
+        self.dpb: DPB | None = None
+        self._dpb_sps_id: int | None = None
 
     def _pipeline(self, sps: SPS, pps: PPS) -> DevicePipeline:
         key = (sps.seq_parameter_set_id, pps.pic_parameter_set_id,
@@ -66,6 +69,7 @@ class Decoder:
     def decode_annexb(self, data: bytes):
         """Yield Frames in output order."""
         cur: PictureParse | None = None
+        cur_poc = 0
         for u in nal.parse_annexb(data):
             if u.nal_unit_type == nal.NAL_SPS:
                 s = parse_sps(u.rbsp)
@@ -84,18 +88,47 @@ class Decoder:
                                          u.nal_ref_idc)
                 if hdr.first_mb_in_slice == 0:
                     if cur is not None:
-                        yield self._finish(cur)
+                        yield from self._finish(cur, cur_poc)
+                    if self.dpb is None or self._dpb_sps_id != \
+                            sps.seq_parameter_set_id:
+                        self.dpb = DPB(sps)
+                        self._dpb_sps_id = sps.seq_parameter_set_id
                     cur = PictureParse(sps, pps)
+                    cur_poc = self.dpb.compute_poc(hdr)
                 if cur is None:
                     raise ValueError("slice without picture start")
-                cur.parse_slice(r, hdr)
+                reflists = ((), ())
+                if hdr.is_p:
+                    reflists = (self.dpb.init_list_p(hdr), ())
+                elif hdr.is_b:
+                    reflists = self.dpb.init_lists_b(hdr, cur_poc)
+                cur.parse_slice(r, hdr, reflists)
         if cur is not None:
-            yield self._finish(cur)
+            yield from self._finish(cur, cur_poc)
+        if self.dpb is not None:
+            for planes in self.dpb.flush():
+                yield self._emit(planes)
 
-    def _finish(self, pic: PictureParse) -> Frame:
+    def _finish(self, pic: PictureParse, poc: int):
         abi = pack_frame(pic)
-        y, cb, cr = self._pipeline(pic.sps, pic.pps).decode_frame(abi)
-        y, cb, cr = crop_planes(pic.sps, y, cb, cr)
+        pipeline = self._pipeline(pic.sps, pic.pps)
+        y, cb, cr = pipeline.decode_frame(abi)   # device arrays
+        hdr = pic.headers[0]
+        host = (np.asarray(y), np.asarray(cb), np.asarray(cr), pic.sps)
+        outputs, stored = self.dpb.store(host, hdr, poc)
+        if stored.is_ref:
+            used = {p.slot for p in self.dpb.pics
+                    if p.is_ref and p is not stored and p.slot >= 0}
+            slot = next(s for s in range(pipeline.n_slots) if s not in used)
+            stored.slot = slot
+            pipeline.store_ref(slot, y, cb, cr)
+        for planes in outputs:
+            yield self._emit(planes)
+
+    @staticmethod
+    def _emit(planes) -> Frame:
+        y, cb, cr, sps = planes
+        y, cb, cr = crop_planes(sps, y, cb, cr)
         return Frame(y=y, cb=cb, cr=cr)
 
 

@@ -182,7 +182,11 @@ class DPB:
     # ---- store + marking (spec 8.2.5) + bumping (Annex C) -----------------
 
     def store(self, planes, hdr: SliceHeader, poc: int):
-        """Store the decoded picture; returns list of output payloads in order."""
+        """Store the decoded picture.
+
+        Returns (outputs, pic): output payloads ready for emission in order,
+        and the stored DPBPicture (so the caller can assign a device slot).
+        """
         out = []
         if hdr.is_idr:
             if hdr.no_output_of_prior_pics_flag:
@@ -205,7 +209,7 @@ class DPB:
         # bumping: emit smallest-POC while over capacity
         while len(self.pics) > self.max_dpb_frames:
             out.append(self._bump_one())
-        return out
+        return [o for o in out if o is not None], pic
 
     def _sliding_window(self) -> None:
         num_ref = sum(1 for p in self.pics if p.is_ref)

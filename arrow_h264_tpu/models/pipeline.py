@@ -18,33 +18,54 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bitstream.params import PPS, SPS
-from ..ops.abi import FrameABI
+from ..ops.abi import KIND_P, FrameABI
 from ..ops.deblock import deblock_planes
+from ..ops.inter import PAD, inter_predict
 from ..ops.intra import intra_reconstruct
-from ..ops.transforms import make_ws_consts, residual_planes
+from ..ops.transforms import _mb_mask_to_plane, make_ws_consts, residual_planes
 
 ABI_DEVICE_KEYS = (
     "kind", "qp", "luma4", "luma8", "luma_dc", "chroma_dc", "chroma_ac",
     "i4_modes", "i8_modes", "i16_mode", "chroma_mode", "i4_avail", "i8_avail",
     "mb_avail", "pcm", "nz", "tr8", "slice_id", "disable_idc", "alpha_off",
-    "beta_off", "mv", "refid",
+    "beta_off", "mv", "refid", "refslot", "wp", "logwd",
 )
 
 
-def decode_frame_fn(abi: dict, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off):
-    """Pure function: ABI dict of int32 arrays -> (y, cb, cr) uint8 planes."""
+def decode_frame_fn(abi: dict, dpb_y, dpb_cb, dpb_cr, *,
+                    mb_w: int, mb_h: int, ws4, ws8, cqp_off):
+    """Pure function: ABI dict + device DPB -> (y, cb, cr) uint8 planes."""
     res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8, cqp_off)
-    y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h)
+    pred_y, pred_cb, pred_cr = inter_predict(abi, dpb_y, dpb_cb, dpb_cr,
+                                             mb_w, mb_h)
+    inter_y = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 16)
+    inter_c = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 8)
+    init_y = jnp.where(inter_y, jnp.clip(pred_y + res_y, 0, 255), 0)
+    init_cb = jnp.where(inter_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
+    init_cr = jnp.where(inter_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
+    y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
+                                  init_y, init_cb, init_cr)
     y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
+def store_ref_fn(dpb_y, dpb_cb, dpb_cr, slot, y, cb, cr):
+    """Pad (edge-replicate) a decoded frame and write it into DPB slot."""
+    yp = jnp.pad(y, PAD, mode="edge")[None]
+    cbp = jnp.pad(cb, PAD // 2, mode="edge")[None]
+    crp = jnp.pad(cr, PAD // 2, mode="edge")[None]
+    return (jax.lax.dynamic_update_slice(dpb_y, yp, (slot, 0, 0)),
+            jax.lax.dynamic_update_slice(dpb_cb, cbp, (slot, 0, 0)),
+            jax.lax.dynamic_update_slice(dpb_cr, crp, (slot, 0, 0)))
+
+
 class DevicePipeline:
-    """Jit-compiled per (sps, pps) frame reconstruction."""
+    """Jit-compiled per (sps, pps) frame reconstruction + device DPB slots."""
 
     def __init__(self, sps: SPS, pps: PPS):
         self.sps, self.pps = sps, pps
         self.mb_w, self.mb_h = sps.pic_width_in_mbs, sps.pic_height_in_map_units
+        H, W = self.mb_h * 16, self.mb_w * 16
         sl4 = pps.scaling_lists_4x4 if pps.scaling_lists_4x4 is not None \
             else sps.scaling_lists_4x4
         sl8 = pps.scaling_lists_8x8 if pps.scaling_lists_8x8 is not None \
@@ -55,8 +76,20 @@ class DevicePipeline:
             ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
             cqp_off=(pps.chroma_qp_index_offset, pps.chroma_qp_offset(1)),
         ))
+        self._store = jax.jit(store_ref_fn, donate_argnums=(0, 1, 2))
+        self.n_slots = max(2, min(sps.max_num_ref_frames, 16) + 1)
+        self.dpb_y = jnp.zeros((self.n_slots, H + 2 * PAD, W + 2 * PAD),
+                               jnp.uint8)
+        self.dpb_cb = jnp.zeros((self.n_slots, H // 2 + PAD, W // 2 + PAD),
+                                jnp.uint8)
+        self.dpb_cr = jnp.zeros_like(self.dpb_cb)
 
     def decode_frame(self, abi: FrameABI):
         dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
-        y, cb, cr = self._fn(dev)
-        return (np.asarray(y), np.asarray(cb), np.asarray(cr))
+        y, cb, cr = self._fn(dev, self.dpb_y, self.dpb_cb, self.dpb_cr)
+        return y, cb, cr
+
+    def store_ref(self, slot: int, y, cb, cr) -> None:
+        self.dpb_y, self.dpb_cb, self.dpb_cr = self._store(
+            self.dpb_y, self.dpb_cb, self.dpb_cr, slot,
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))

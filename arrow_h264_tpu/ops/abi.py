@@ -25,7 +25,11 @@ Layout (per frame; the stream batch dimension B is added by stacking):
   tr8         [nMB] int32
   slice_id / disable_idc / alpha_off / beta_off  [nMB] int32
   mv          [nMB,4,4,2,2] int32   (y4,x4,list,(x,y))  inter only
-  refid       [nMB,4,4,2]   int32   unique DPB picture id, -1 unused
+  refid       [nMB,4,4,2]   int32   unique DPB picture id, -1 unused (deblock)
+  refslot     [nMB,4,4,2]   int32   device DPB slot, -1 unused (MC gather)
+  wp          [nMB,4,4,2,3,2] int32 weighted-pred (list, plane y/cb/cr, (w,o));
+                                    identity (1, 0) when weighting is off
+  logwd       [nMB,2] int32         (luma, chroma) log2 weight denominators
 
 Reference parity: this replaces the JM-lineage per-MB struct soup
 (`macroblock.c`) with dense tensors (SURVEY.md §2 TPU re-layering).
@@ -37,12 +41,17 @@ import numpy as np
 
 from ..common.tables import BLK4_X, BLK4_Y, RASTER_TO_BLK4, ZIGZAG_4x4, ZIGZAG_8x8
 from ..mb.parse import PictureParse
-from ..mb.types import MB_I4x4, MB_I8x8, MB_I16x16, MB_IPCM
+from ..mb.types import (
+    MB_B, MB_BDIRECT16, MB_BSKIP, MB_I4x4, MB_I8x8, MB_I16x16, MB_IPCM,
+    MB_P, MB_PSKIP,
+)
 
 KIND_I4x4, KIND_I8x8, KIND_I16, KIND_IPCM, KIND_P, KIND_B = range(6)
 
 _CAT_TO_KIND = {MB_I4x4: KIND_I4x4, MB_I8x8: KIND_I8x8,
-                MB_I16x16: KIND_I16, MB_IPCM: KIND_IPCM}
+                MB_I16x16: KIND_I16, MB_IPCM: KIND_IPCM,
+                MB_P: KIND_P, MB_PSKIP: KIND_P,
+                MB_B: KIND_B, MB_BSKIP: KIND_B, MB_BDIRECT16: KIND_B}
 
 _ZZ4 = np.array(ZIGZAG_4x4)
 _ZZ8 = np.array(ZIGZAG_8x8)
@@ -95,8 +104,12 @@ def pack_frame(pic: PictureParse) -> FrameABI:
         beta_off=np.zeros(n, np.int32),
         mv=np.zeros((n, 4, 4, 2, 2), np.int32),
         refid=np.full((n, 4, 4, 2), -1, np.int32),
+        refslot=np.full((n, 4, 4, 2), -1, np.int32),
+        wp=np.zeros((n, 4, 4, 2, 3, 2), np.int32),
+        logwd=np.zeros((n, 2), np.int32),
         mb_w=mb_w, mb_h=mb_h,
     )
+    abi["wp"][..., 0] = 1  # identity weights by default
 
     def mb_avail_intra(nb_x, nb_y, cur) -> bool:
         if nb_x < 0 or nb_y < 0 or nb_x >= mb_w or nb_y >= mb_h:
@@ -189,4 +202,45 @@ def pack_frame(pic: PictureParse) -> FrameABI:
                     blk_avail_intra(bx - 1, by - 1, mb, blk),
                     blk_avail_intra(bx + 1, by - 1, mb, blk),
                 ]
+        else:
+            # inter MB: residual levels + motion/ref/weight resolution
+            if mb.luma_levels is not None:
+                if mb.transform_8x8:
+                    for blk in range(4):
+                        abi["luma8"][addr, blk] = _unscan8(mb.luma_levels[blk])
+                else:
+                    for blk in range(16):
+                        r = BLK4_Y[blk] * 4 + BLK4_X[blk]
+                        abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk])
+            abi["mv"][addr] = np.moveaxis(mb.mvs, 0, 2)
+            ridx = np.moveaxis(mb.refidx, 0, 2).astype(np.int32)  # [4,4,2]
+            hdr = pic.headers[mb.slice_id]
+            l0, l1 = pic.slice_reflists[mb.slice_id]
+            weighted_p = bool(pic.pps.weighted_pred_flag) and hdr.is_p
+            weighted_b = pic.pps.weighted_bipred_idc == 1 and hdr.is_b
+            if weighted_p or weighted_b:
+                abi["logwd"][addr] = [hdr.luma_log2_weight_denom,
+                                      hdr.chroma_log2_weight_denom]
+            for lst, lref, pws in ((0, l0, hdr.pred_weights_l0),
+                                   (1, l1, hdr.pred_weights_l1)):
+                if not len(lref):
+                    continue
+                uids = np.array([p.uid for p in lref], np.int32)
+                slots = np.array([p.slot for p in lref], np.int32)
+                r_ = ridx[..., lst]
+                valid = r_ >= 0
+                rc = np.clip(r_, 0, len(lref) - 1)
+                abi["refid"][addr, :, :, lst] = np.where(valid, uids[rc], -1)
+                abi["refslot"][addr, :, :, lst] = np.where(valid, slots[rc], -1)
+                if (weighted_p and lst == 0) or weighted_b:
+                    for y4 in range(4):
+                        for x4 in range(4):
+                            if r_[y4, x4] >= 0 and r_[y4, x4] < len(pws):
+                                pw = pws[r_[y4, x4]]
+                                abi["wp"][addr, y4, x4, lst, 0] = \
+                                    [pw.luma_weight, pw.luma_offset]
+                                abi["wp"][addr, y4, x4, lst, 1] = \
+                                    [pw.chroma_weight[0], pw.chroma_offset[0]]
+                                abi["wp"][addr, y4, x4, lst, 2] = \
+                                    [pw.chroma_weight[1], pw.chroma_offset[1]]
     return abi

@@ -244,17 +244,23 @@ def _job_chroma(cb_buf, res_c, mask, py, px, mode, mb_avail, is_pcm):
     return _scatter(cb_buf, mask, py, px, out, 8, 8)
 
 
-def intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w: int, mb_h: int):
+def intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w: int, mb_h: int,
+                      init_y=None, init_cb=None, init_cr=None):
     """Run the full intra/PCM reconstruction wavefront.
 
-    Returns (y, cb, cr) int32 planes.  Inter MBs are left untouched (their
-    regions must be pre-filled into res planes by the MC stage later).
+    `init_*` planes carry already-reconstructed inter-MB pixels (MC stage);
+    intra/PCM jobs overwrite their own MBs and may read inter neighbors.
+    Returns (y, cb, cr) int32 planes.
     """
     H, W = mb_h * 16, mb_w * 16
     # +1 top/left border for edge gathers; +17 dummy rows for masked scatters
     yb = jnp.zeros((H + 1 + 17, W + 9), jnp.int32)
     cbb = jnp.zeros((H // 2 + 1 + 17, W // 2 + 1), jnp.int32)
     crb = jnp.zeros((H // 2 + 1 + 17, W // 2 + 1), jnp.int32)
+    if init_y is not None:
+        yb = yb.at[1:H + 1, 1:W + 1].set(init_y)
+        cbb = cbb.at[1:H // 2 + 1, 1:W // 2 + 1].set(init_cb)
+        crb = crb.at[1:H // 2 + 1, 1:W // 2 + 1].set(init_cr)
     mb_idx, active = build_schedule(mb_w, mb_h)
 
     kind_all = abi["kind"]

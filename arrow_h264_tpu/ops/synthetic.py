@@ -37,8 +37,12 @@ def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
         beta_off=np.zeros(n, np.int32),
         mv=np.zeros((n, 4, 4, 2, 2), np.int32),
         refid=np.full((n, 4, 4, 2), -1, np.int32),
+        refslot=np.full((n, 4, 4, 2), -1, np.int32),
+        wp=np.zeros((n, 4, 4, 2, 3, 2), np.int32),
+        logwd=np.zeros((n, 2), np.int32),
         mb_w=mb_w, mb_h=mb_h,
     )
+    abi["wp"][..., 0] = 1
     # geometric availability (single slice, raster order, no constrained intra)
     for my in range(mb_h):
         for mx in range(mb_w):

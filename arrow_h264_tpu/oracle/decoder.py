@@ -146,7 +146,7 @@ class OracleDecoder:
         meta = build_deblock_meta(pic)
         deblock_frame(y, cb, cr, meta)
         hdr = pic.headers[0]
-        outputs = self.dpb.store((y, cb, cr, pic.sps), hdr, poc)
+        outputs, _ = self.dpb.store((y, cb, cr, pic.sps), hdr, poc)
         for planes in outputs:
             yield self._emit(planes)
 

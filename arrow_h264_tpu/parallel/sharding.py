@@ -24,7 +24,7 @@ def make_stream_mesh(devices=None) -> Mesh:
 
 
 def batched_decode_fn(mb_w: int, mb_h: int, ws4, ws8, cqp_off):
-    """vmapped decode: dict of [B, ...] arrays -> (y, cb, cr) [B, H, W]."""
+    """vmapped decode over (abi, dpb_y, dpb_cb, dpb_cr), batch = streams."""
     fn = functools.partial(decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
                            ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
                            cqp_off=cqp_off)
@@ -36,4 +36,5 @@ def sharded_decode_fn(mesh: Mesh, mb_w: int, mb_h: int, ws4, ws8,
     """jit the batched decode with the stream batch sharded over the mesh."""
     fn = batched_decode_fn(mb_w, mb_h, ws4, ws8, cqp_off)
     shard = NamedSharding(mesh, P("stream"))
-    return jax.jit(fn, in_shardings=(shard,), out_shardings=shard)
+    return jax.jit(fn, in_shardings=(shard, shard, shard, shard),
+                   out_shardings=shard)

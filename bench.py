@@ -34,13 +34,18 @@ def main() -> None:
         arrs = [synthetic_abi(mb_w, mb_h, seed=i)[k] for i in range(batch)]
         host[k] = np.stack(arrs)
     abi = {k: jnp.asarray(v) for k, v in host.items()}
+    from arrow_h264_tpu.ops.inter import PAD
+    H, W = mb_h * 16, mb_w * 16
+    dpb = (jnp.zeros((batch, 2, H + 2 * PAD, W + 2 * PAD), jnp.uint8),
+           jnp.zeros((batch, 2, H // 2 + PAD, W // 2 + PAD), jnp.uint8),
+           jnp.zeros((batch, 2, H // 2 + PAD, W // 2 + PAD), jnp.uint8))
     # compile + warmup
-    y, cb, cr = fn(abi)
+    y, cb, cr = fn(abi, *dpb)
     y.block_until_ready()
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        y, cb, cr = fn(abi)
+        y, cb, cr = fn(abi, *dpb)
     y.block_until_ready()
     dt = time.perf_counter() - t0
     fps = batch * iters / dt

@@ -40,3 +40,30 @@ def test_device_config1(h264ref, tmp_path, qp):
                     py, px = pos[0]
                     msg += f"; first at ({px},{py}): {yo[py,px]} vs {yg[py,px]}"
                 raise AssertionError(msg)
+
+
+def test_device_config2_p_frames(h264ref, tmp_path):
+    """Config 2 on the device pipeline: P-frames, quarter-pel MC, DPB slots."""
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 5, seed=42)
+    path = str(tmp_path / "d2.264")
+    streams.encode(yuv, w, h, path, streams.CONFIG_OPTS[2])
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_device(path)
+    assert ours.shape == golden.shape
+    for f in range(ours.shape[0]):
+        assert np.array_equal(ours[f], golden[f]), \
+            f"frame {f}: {int((ours[f] != golden[f]).sum())} byte diffs"
+
+
+def test_device_config2_multiref(h264ref, tmp_path):
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 6, seed=7)
+    path = str(tmp_path / "d2mr.264")
+    opts = ["profile=baseline", "qp=24", "g=250", "bf=0", "refs=3",
+            "keyint_min=25",
+            f"x264-params=cabac=0:subme=7:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_device(path)
+    assert np.array_equal(ours, golden)
