@@ -102,7 +102,7 @@ class Decoder:
                     reflists = (self.dpb.init_list_p(hdr), ())
                 elif hdr.is_b:
                     reflists = self.dpb.init_lists_b(hdr, cur_poc)
-                cur.parse_slice(r, hdr, reflists)
+                cur.parse_slice(r, hdr, reflists, cur_poc)
         if cur is not None:
             yield from self._finish(cur, cur_poc)
         if self.dpb is not None:
@@ -117,6 +117,8 @@ class Decoder:
         host = (np.asarray(y), np.asarray(cb), np.asarray(cr), pic.sps)
         outputs, stored = self.dpb.store(host, hdr, poc)
         if stored.is_ref:
+            stored.col_mv, stored.col_refidx, stored.col_ref_uid = \
+                pic.build_col_motion()
             used = {p.slot for p in self.dpb.pics
                     if p.is_ref and p is not stored and p.slot >= 0}
             slot = next(s for s in range(pipeline.n_slots) if s not in used)

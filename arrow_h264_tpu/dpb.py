@@ -35,6 +35,10 @@ class DPBPicture:
     frame_num_wrap: int = 0
     output_needed: bool = True
     slot: int = -1            # device DPB slot (assigned by caller)
+    # colocated motion for B direct modes (spec 8.4.1.2.1), per 4x4 block:
+    col_mv: object = None       # [H4, W4, 2] int32
+    col_refidx: object = None   # [H4, W4] int8 (raw index in col pic's list)
+    col_ref_uid: object = None  # [H4, W4] int32 (picture identity, -1 intra)
 
 
 class DPB:

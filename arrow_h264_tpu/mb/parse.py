@@ -42,7 +42,13 @@ class PictureParse:
         # motion grids at 4x4 granularity (spec 8.4.1); list-major
         self.mv_grid = np.zeros((2, self.mb_h * 4, self.mb_w * 4, 2), np.int32)
         self.ref_grid = np.full((2, self.mb_h * 4, self.mb_w * 4), -1, np.int8)
-        self.filled = np.zeros((self.mb_h * 4, self.mb_w * 4), bool)
+        # partition decode-order keys (spec 6.4.11.7 availability): cells of
+        # finished MBs = -1; current MB's partitions = mbPartIdx*8 +
+        # subMbPartIdx; undecoded = BIG.  A neighbor cell is available for
+        # the partition with key k iff order[cell] < k.
+        self.ORDER_UNDECODED = 1 << 30
+        self.order_grid = np.full((self.mb_h * 4, self.mb_w * 4),
+                                  self.ORDER_UNDECODED, np.int32)
         # per-slice reference lists (DPBPicture lists), set by the driver
         self.slice_reflists: list[tuple] = []
 
@@ -198,8 +204,8 @@ class PictureParse:
         sps, pps = self.sps, self.pps
         mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cur_slice)
         mb.tc_luma = np.zeros((4, 4), np.int32)
-        # intra MB: motion grid cells filled with "intra" markers (ref -1)
-        self.filled[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = True
+        # intra MB: motion grid cells become "intra" markers (ref -1)
+        self.order_grid[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
 
         if mb_type == 25:  # I_PCM
             mb.category = MB_IPCM
@@ -292,12 +298,17 @@ class PictureParse:
 
     # -- motion vector prediction (spec 8.4.1.3) ----------------------------
 
-    def _mv_neighbor(self, lst: int, px: int, py: int, cur_slice: int):
-        """Returns (available, ref, mv) for the 4x4 block covering (px, py)."""
+    def _mv_neighbor(self, lst: int, px: int, py: int, cur_slice: int,
+                     cur_key: int = 0):
+        """Returns (available, ref, mv) for the 4x4 block covering (px, py).
+
+        Availability follows partition decode order (spec 6.4.11.7): a cell
+        in the CURRENT MB is available iff its partition key < cur_key.
+        """
         if px < 0 or py < 0 or px >= self.mb_w * 16 or py >= self.mb_h * 16:
             return False, -1, (0, 0)
         bx, by = px >> 2, py >> 2
-        if not self.filled[by, bx]:
+        if not (self.order_grid[by, bx] < cur_key):
             return False, -1, (0, 0)
         if self.slice_map[by // 4, bx // 4] != cur_slice:
             return False, -1, (0, 0)
@@ -308,17 +319,19 @@ class PictureParse:
         return True, ref, mv
 
     def predict_mv(self, lst: int, ref_idx: int, x0: int, y0: int,
-                   w: int, h: int, cur_slice: int, part_kind: int = 0):
+                   w: int, h: int, cur_slice: int, part_kind: int = 0,
+                   cur_key: int = 0):
         """Luma MV predictor (spec 8.4.1.3).  x0/y0/w/h in pixels, absolute.
 
         part_kind: 0 = general, 1 = 16x8 upper, 2 = 16x8 lower,
                    3 = 8x16 left, 4 = 8x16 right.
         """
-        av_a, ref_a, mv_a = self._mv_neighbor(lst, x0 - 1, y0, cur_slice)
-        av_b, ref_b, mv_b = self._mv_neighbor(lst, x0, y0 - 1, cur_slice)
-        av_c, ref_c, mv_c = self._mv_neighbor(lst, x0 + w, y0 - 1, cur_slice)
+        av_a, ref_a, mv_a = self._mv_neighbor(lst, x0 - 1, y0, cur_slice, cur_key)
+        av_b, ref_b, mv_b = self._mv_neighbor(lst, x0, y0 - 1, cur_slice, cur_key)
+        av_c, ref_c, mv_c = self._mv_neighbor(lst, x0 + w, y0 - 1, cur_slice, cur_key)
         if not av_c:
-            av_c, ref_c, mv_c = self._mv_neighbor(lst, x0 - 1, y0 - 1, cur_slice)
+            av_c, ref_c, mv_c = self._mv_neighbor(lst, x0 - 1, y0 - 1,
+                                                  cur_slice, cur_key)
         if part_kind == 1 and ref_b == ref_idx:
             return mv_b
         if part_kind == 2 and ref_a == ref_idx:
@@ -347,13 +360,29 @@ class PictureParse:
             return (0, 0)
         return self.predict_mv(0, 0, x0, y0, 16, 16, cur_slice)
 
+    def _assign_key(self, x0: int, y0: int, w: int, h: int, key: int) -> None:
+        bx0, by0 = x0 >> 2, y0 >> 2
+        self.order_grid[by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = key
+
+    def _finish_mb_keys(self, mb_x: int, mb_y: int) -> None:
+        self.order_grid[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
+
+    @staticmethod
+    def _sub_part_xy(sx0: int, sy0: int, sw: int, sh: int, s: int):
+        if sw == 8 and sh == 8:
+            return sx0, sy0
+        if sw == 8:
+            return sx0, sy0 + s * 4
+        if sh == 8:
+            return sx0 + s * 4, sy0
+        return sx0 + (s % 2) * 4, sy0 + (s // 2) * 4
+
     def _set_part(self, mb: MBRecord, lst: int, x0: int, y0: int,
                   w: int, h: int, ref: int, mv) -> None:
         """Write a partition's motion into the grids and the MB record."""
         bx0, by0 = x0 >> 2, y0 >> 2
         self.mv_grid[lst, by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = mv
         self.ref_grid[lst, by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = ref
-        self.filled[by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = True
         ly0, lx0 = by0 - mb.mb_y * 4, bx0 - mb.mb_x * 4
         mb.mvs[lst, ly0:ly0 + (h >> 2), lx0:lx0 + (w >> 2)] = mv
         mb.refidx[lst, ly0:ly0 + (h >> 2), lx0:lx0 + (w >> 2)] = ref
@@ -373,6 +402,7 @@ class PictureParse:
         self.slice_map[mb_y, mb_x] = cur_slice
         mv = self.skip_mv(mb_x * 16, mb_y * 16, cur_slice)
         self._set_part(mb, 0, mb_x * 16, mb_y * 16, 16, 16, 0, mv)
+        self._finish_mb_keys(mb_x, mb_y)
         return mb
 
     def parse_p_mb(self, r: BitReader, mb_type: int, mb_x: int, mb_y: int,
@@ -396,6 +426,12 @@ class PictureParse:
             for st in sub_types:
                 if st > 3:
                     raise ValueError(f"bad P sub_mb_type {st}")
+            for i8 in range(4):
+                sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                ns, sw, sh = P_SUB_SHAPES[sub_types[i8]]
+                for s in range(ns):
+                    px, py = self._sub_part_xy(sx0, sy0, sw, sh, s)
+                    self._assign_key(px, py, sw, sh, i8 * 8 + s)
             refs = []
             for i8 in range(4):
                 if mb_type == 4 or n_ref == 1:
@@ -407,23 +443,24 @@ class PictureParse:
                 sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
                 ns, sw, sh = P_SUB_SHAPES[sub_types[i8]]
                 for s in range(ns):
-                    if sw == 8 and sh == 8:
-                        px, py = sx0, sy0
-                    elif sw == 8:   # 8x4
-                        px, py = sx0, sy0 + s * 4
-                    elif sh == 8:   # 4x8
-                        px, py = sx0 + s * 4, sy0
-                    else:           # 4x4
-                        px, py = sx0 + (s % 2) * 4, sy0 + (s // 2) * 4
+                    px, py = self._sub_part_xy(sx0, sy0, sw, sh, s)
                     mvd = (r.se(), r.se())
                     mvp = self.predict_mv(0, refs[i8], px, py, sw, sh,
-                                          cur_slice)
+                                          cur_slice, cur_key=i8 * 8 + s)
                     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
                     self._set_part(mb, 0, px, py, sw, sh, refs[i8], mv)
         else:
             refs = []
             for p in range(n_parts):
                 refs.append(r.te(n_ref - 1) if n_ref > 1 else 0)
+            for p in range(n_parts):
+                if mb_type == 0:
+                    px, py = x0, y0
+                elif mb_type == 1:
+                    px, py = x0, y0 + p * 8
+                else:
+                    px, py = x0 + p * 8, y0
+                self._assign_key(px, py, pw, ph, p * 8)
             for p in range(n_parts):
                 if mb_type == 0:
                     px, py, kind = x0, y0, 0
@@ -433,9 +470,10 @@ class PictureParse:
                     px, py, kind = x0 + p * 8, y0, 3 + p
                 mvd = (r.se(), r.se())
                 mvp = self.predict_mv(0, refs[p], px, py, pw, ph, cur_slice,
-                                      part_kind=kind)
+                                      part_kind=kind, cur_key=p * 8)
                 mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
                 self._set_part(mb, 0, px, py, pw, ph, refs[p], mv)
+        self._finish_mb_keys(mb_x, mb_y)
 
         # coded_block_pattern (Table 9-4, inter column)
         code = r.ue()
@@ -464,31 +502,307 @@ class PictureParse:
         self._parse_residual_chroma(r, mb, mb_x, mb_y, cur_slice)
         return mb, prev_qp
 
+    # -- B direct modes (spec 8.4.1.2) --------------------------------------
+
+    @staticmethod
+    def _min_positive(a: int, b: int) -> int:
+        if a >= 0 and b >= 0:
+            return min(a, b)
+        return max(a, b)
+
+    def _direct_spatial_ctx(self, mb_x: int, mb_y: int, cur_slice: int):
+        """Per-MB spatial-direct refs + mvps (spec 8.4.1.2.2)."""
+        x0, y0 = mb_x * 16, mb_y * 16
+        refs = []
+        for lst in range(2):
+            av_a, ref_a, _ = self._mv_neighbor(lst, x0 - 1, y0, cur_slice)
+            av_b, ref_b, _ = self._mv_neighbor(lst, x0, y0 - 1, cur_slice)
+            av_c, ref_c, _ = self._mv_neighbor(lst, x0 + 16, y0 - 1, cur_slice)
+            if not av_c:
+                av_c, ref_c, _ = self._mv_neighbor(lst, x0 - 1, y0 - 1, cur_slice)
+            refs.append(self._min_positive(self._min_positive(ref_a, ref_b), ref_c))
+        ref0, ref1 = refs
+        zero_pred = ref0 < 0 and ref1 < 0
+        if zero_pred:
+            ref0 = ref1 = 0
+        mvp0 = self.predict_mv(0, ref0, x0, y0, 16, 16, cur_slice) if ref0 >= 0 else (0, 0)
+        mvp1 = self.predict_mv(1, ref1, x0, y0, 16, 16, cur_slice) if ref1 >= 0 else (0, 0)
+        return ref0, ref1, mvp0, mvp1, zero_pred
+
+    def _col_block(self, l1, mb_x: int, mb_y: int, y4: int, x4: int):
+        """Colocated 4x4 info (mv, raw refidx, ref uid, colpic) per 8.4.1.2.1.
+
+        Applies direct_8x8_inference corner sampling when enabled.
+        """
+        col = l1[0]
+        if self.sps.direct_8x8_inference_flag:
+            y4 = 3 * (y4 // 2)
+            x4 = 3 * (x4 // 2)
+        by, bx = mb_y * 4 + y4, mb_x * 4 + x4
+        if col.col_mv is None:
+            return (0, 0), -1, -1, col
+        return (tuple(int(v) for v in col.col_mv[by, bx]),
+                int(col.col_refidx[by, bx]), int(col.col_ref_uid[by, bx]), col)
+
+    def fill_direct(self, mb, mb_x: int, mb_y: int, cur_slice: int,
+                    hdr, l0, l1, cur_poc: int, blocks=None) -> None:
+        """Derive direct MVs for the given 4x4 cells (default: whole MB)."""
+        cells = blocks if blocks is not None else \
+            [(y4, x4) for y4 in range(4) for x4 in range(4)]
+        if hdr.direct_spatial_mv_pred_flag:
+            ref0, ref1, mvp0, mvp1, zero_pred = \
+                self._direct_spatial_ctx(mb_x, mb_y, cur_slice)
+            for (y4, x4) in cells:
+                mv_col, refidx_col, _, col = self._col_block(l1, mb_x, mb_y, y4, x4)
+                col_zero = (not col.long_term) and refidx_col == 0 and \
+                    abs(mv_col[0]) <= 1 and abs(mv_col[1]) <= 1
+                for lst, ref, mvp in ((0, ref0, mvp0), (1, ref1, mvp1)):
+                    if ref < 0:
+                        mv = (0, 0)
+                    elif zero_pred or (ref == 0 and col_zero):
+                        mv = (0, 0)
+                    else:
+                        mv = mvp
+                    self._set_part(mb, lst, mb_x * 16 + 4 * x4,
+                                   mb_y * 16 + 4 * y4, 4, 4, ref, mv)
+        else:
+            # temporal direct (8.4.1.2.3)
+            uid_to_idx = {}
+            for i, p in enumerate(l0):
+                uid_to_idx.setdefault(p.uid, i)
+            col_pic = l1[0]
+            for (y4, x4) in cells:
+                mv_col, refidx_col, ref_uid, _ = \
+                    self._col_block(l1, mb_x, mb_y, y4, x4)
+                if refidx_col < 0:
+                    ref0 = 0
+                    mv_col = (0, 0)
+                else:
+                    ref0 = uid_to_idx.get(ref_uid, 0)
+                refpic = l0[ref0]
+                px, py = mb_x * 16 + 4 * x4, mb_y * 16 + 4 * y4
+                if refpic.long_term or col_pic.poc == refpic.poc:
+                    mv0 = mv_col
+                    mv1 = (0, 0)
+                else:
+                    tb = max(-128, min(127, cur_poc - refpic.poc))
+                    td = max(-128, min(127, col_pic.poc - refpic.poc))
+                    tx = (16384 + (abs(td) >> 1)) // td
+                    dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+                    mv0 = ((dsf * mv_col[0] + 128) >> 8,
+                           (dsf * mv_col[1] + 128) >> 8)
+                    mv1 = (mv0[0] - mv_col[0], mv0[1] - mv_col[1])
+                self._set_part(mb, 0, px, py, 4, 4, ref0, mv0)
+                self._set_part(mb, 1, px, py, 4, 4, 0, mv1)
+
+    # -- B macroblocks (spec 7.3.5.1, Tables 7-14/7-18) ---------------------
+
+    def parse_b_skip(self, mb_x: int, mb_y: int, cur_slice: int, prev_qp: int,
+                     hdr, l0, l1, cur_poc: int):
+        from .types import MB_BSKIP
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cur_slice)
+        mb.category = MB_BSKIP
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+        mb.mvs = np.zeros((2, 4, 4, 2), np.int32)
+        mb.refidx = np.full((2, 4, 4), -1, np.int8)
+        mb.qp = prev_qp
+        self.mbs[mb_y * self.mb_w + mb_x] = mb
+        self.slice_map[mb_y, mb_x] = cur_slice
+        self.fill_direct(mb, mb_x, mb_y, cur_slice, hdr, l0, l1, cur_poc)
+        self._finish_mb_keys(mb_x, mb_y)
+        return mb
+
+    def parse_b_mb(self, r: BitReader, mb_type: int, mb_x: int, mb_y: int,
+                   cur_slice: int, prev_qp: int, hdr, l0, l1, cur_poc: int):
+        from .types import B_MODES, B_SUB_MODES, MB_B, MB_BDIRECT16
+        pps = self.pps
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cur_slice)
+        mb.category = MB_BDIRECT16 if mb_type == 0 else MB_B
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+        mb.mvs = np.zeros((2, 4, 4, 2), np.int32)
+        mb.refidx = np.full((2, 4, 4), -1, np.int8)
+        self.mbs[mb_y * self.mb_w + mb_x] = mb
+        self.slice_map[mb_y, mb_x] = cur_slice
+        x0, y0 = mb_x * 16, mb_y * 16
+        n_ref = (hdr.num_ref_idx_l0_active, hdr.num_ref_idx_l1_active)
+        sub_types = None
+
+        if mb_type == 0:
+            self.fill_direct(mb, mb_x, mb_y, cur_slice, hdr, l0, l1, cur_poc)
+        elif mb_type == 22:  # B_8x8
+            sub_types = [r.ue() for _ in range(4)]
+            for st in sub_types:
+                if st > 12:
+                    raise ValueError(f"bad B sub_mb_type {st}")
+            # refs: all l0 then all l1 (per 8x8, non-direct, list used)
+            refs = [[0] * 4, [0] * 4]
+            for lst in range(2):
+                for i8 in range(4):
+                    st = sub_types[i8]
+                    pred = B_SUB_MODES[st][4]
+                    uses = pred != 3 and (pred == 2 or pred == lst)
+                    if uses and n_ref[lst] > 1:
+                        refs[lst][i8] = r.te(n_ref[lst] - 1)
+            # partition decode-order keys for all sub-partitions
+            for i8 in range(4):
+                st = sub_types[i8]
+                _, ns, sw, sh, pred = B_SUB_MODES[st]
+                sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                if pred == 3:
+                    self._assign_key(sx0, sy0, 8, 8, i8 * 8)
+                else:
+                    for s in range(ns):
+                        px, py = self._sub_part_xy(sx0, sy0, sw, sh, s)
+                        self._assign_key(px, py, sw, sh, i8 * 8 + s)
+            # direct subs derive now (before mvd parse of later partitions,
+            # the grids must carry their MVs for prediction)
+            for i8 in range(4):
+                if B_SUB_MODES[sub_types[i8]][4] == 3:
+                    cells = [(2 * (i8 // 2) + dy, 2 * (i8 % 2) + dx)
+                             for dy in range(2) for dx in range(2)]
+                    self.fill_direct(mb, mb_x, mb_y, cur_slice, hdr, l0, l1,
+                                     cur_poc, blocks=cells)
+            for lst in range(2):
+                for i8 in range(4):
+                    st = sub_types[i8]
+                    _, ns, sw, sh, pred = B_SUB_MODES[st]
+                    if pred == 3 or (pred != 2 and pred != lst):
+                        continue
+                    sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                    for s in range(ns):
+                        px, py = self._sub_part_xy(sx0, sy0, sw, sh, s)
+                        mvd = (r.se(), r.se())
+                        mvp = self.predict_mv(lst, refs[lst][i8], px, py,
+                                              sw, sh, cur_slice,
+                                              cur_key=i8 * 8 + s)
+                        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                        self._set_part(mb, lst, px, py, sw, sh,
+                                       refs[lst][i8], mv)
+        else:
+            _, (n_parts, pw, ph), preds = B_MODES[mb_type]
+            for p in range(n_parts):
+                if n_parts == 1:
+                    px, py = x0, y0
+                elif ph == 8:
+                    px, py = x0, y0 + p * 8
+                else:
+                    px, py = x0 + p * 8, y0
+                self._assign_key(px, py, pw, ph, p * 8)
+            refs = [[0] * n_parts, [0] * n_parts]
+            for lst in range(2):
+                for p in range(n_parts):
+                    uses = preds[p] == 2 or preds[p] == lst
+                    if uses and n_ref[lst] > 1:
+                        refs[lst][p] = r.te(n_ref[lst] - 1)
+            for lst in range(2):
+                for p in range(n_parts):
+                    if not (preds[p] == 2 or preds[p] == lst):
+                        continue
+                    if n_parts == 1:
+                        px, py, kind = x0, y0, 0
+                    elif ph == 8:      # 16x8
+                        px, py, kind = x0, y0 + p * 8, 1 + p
+                    else:              # 8x16
+                        px, py, kind = x0 + p * 8, y0, 3 + p
+                    mvd = (r.se(), r.se())
+                    mvp = self.predict_mv(lst, refs[lst][p], px, py, pw, ph,
+                                          cur_slice, part_kind=kind,
+                                          cur_key=p * 8)
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    self._set_part(mb, lst, px, py, pw, ph, refs[lst][p], mv)
+
+        # coded_block_pattern + residual (same as P)
+        code = r.ue()
+        if code >= len(CBP_ME):
+            raise ValueError(f"bad cbp code {code}")
+        cbp = CBP_ME[code][1]
+        mb.cbp_luma = cbp & 15
+        mb.cbp_chroma = cbp >> 4
+        if mb.cbp_luma and pps.transform_8x8_mode_flag:
+            if mb_type == 0:
+                ok = bool(self.sps.direct_8x8_inference_flag)
+            elif sub_types is not None:
+                from .types import B_SUB_MODES as BSM
+                ok = all((BSM[st][4] == 3 and self.sps.direct_8x8_inference_flag)
+                         or (BSM[st][2] == 8 and BSM[st][3] == 8)
+                         for st in sub_types)
+            else:
+                ok = True
+            if ok:
+                mb.transform_8x8 = bool(r.u1())
+        if mb.cbp_luma or mb.cbp_chroma:
+            delta = r.se()
+            prev_qp = (prev_qp + delta + 52) % 52
+        mb.qp = prev_qp
+        self._finish_mb_keys(mb_x, mb_y)
+        if mb.transform_8x8:
+            mb.luma_levels = self._parse_residual_luma_8x8(r, mb, mb_x, mb_y,
+                                                           cur_slice)
+        else:
+            mb.luma_levels = self._parse_residual_luma_4x4(
+                r, mb, mb_x, mb_y, cur_slice, ac_only=False)
+        self._parse_residual_chroma(r, mb, mb_x, mb_y, cur_slice)
+        return mb, prev_qp
+
+    def build_col_motion(self, reflists_by_slice=None):
+        """Colocated motion arrays for this picture (used by future B pics).
+
+        Returns (col_mv [H4, W4, 2], col_refidx [H4, W4], col_ref_uid).
+        L0 motion preferred, else L1 (spec 8.4.1.2.1); intra -> refidx -1.
+        """
+        h4, w4 = self.mb_h * 4, self.mb_w * 4
+        col_mv = np.zeros((h4, w4, 2), np.int32)
+        col_ref = np.full((h4, w4), -1, np.int8)
+        col_uid = np.full((h4, w4), -1, np.int32)
+        for mb in self.mbs:
+            if mb is None or mb.refidx is None:
+                continue
+            l0, l1 = self.slice_reflists[mb.slice_id]
+            for y4 in range(4):
+                for x4 in range(4):
+                    by, bx = mb.mb_y * 4 + y4, mb.mb_x * 4 + x4
+                    r0 = int(mb.refidx[0, y4, x4])
+                    r1 = int(mb.refidx[1, y4, x4])
+                    if r0 >= 0:
+                        col_mv[by, bx] = mb.mvs[0, y4, x4]
+                        col_ref[by, bx] = r0
+                        col_uid[by, bx] = l0[r0].uid
+                    elif r1 >= 0:
+                        col_mv[by, bx] = mb.mvs[1, y4, x4]
+                        col_ref[by, bx] = r1
+                        col_uid[by, bx] = l1[r1].uid
+        return col_mv, col_ref, col_uid
+
     # -- slice driver ---------------------------------------------------------
 
     def parse_slice(self, r: BitReader, hdr: SliceHeader,
-                    reflists: tuple = ((), ())) -> None:
-        """Parse slice_data (CAVLC I/P slices)."""
+                    reflists: tuple = ((), ()), cur_poc: int = 0) -> None:
+        """Parse slice_data (CAVLC I/P/B slices)."""
         if self.pps.entropy_coding_mode_flag:
-            raise NotImplementedError("CABAC slice data not yet supported")
-        if hdr.is_b:
-            raise NotImplementedError("B slice data not yet supported")
+            from .cabac_parse import parse_slice_cabac
+            parse_slice_cabac(self, r, hdr, reflists, cur_poc)
+            return
         cur_slice = len(self.headers)
         self.headers.append(hdr)
         self.slice_reflists.append(reflists)
+        l0, l1 = reflists
         prev_qp = hdr.qp(self.pps)
         addr = hdr.first_mb_in_slice
         n = self.mb_w * self.mb_h
         while True:
             if addr >= n:
                 raise ValueError("slice data overruns picture")
-            if hdr.is_p:
+            if hdr.is_p or hdr.is_b:
                 skip_run = r.ue()
                 for _ in range(skip_run):
                     if addr >= n:
                         raise ValueError("mb_skip_run overruns picture")
                     mb_x, mb_y = addr % self.mb_w, addr // self.mb_w
-                    self.parse_p_skip(mb_x, mb_y, cur_slice, prev_qp)
+                    if hdr.is_p:
+                        self.parse_p_skip(mb_x, mb_y, cur_slice, prev_qp)
+                    else:
+                        self.parse_b_skip(mb_x, mb_y, cur_slice, prev_qp,
+                                          hdr, l0, l1, cur_poc)
                     addr += 1
                 if not r.more_rbsp_data():
                     break
@@ -503,6 +817,14 @@ class PictureParse:
                 else:
                     _, prev_qp = self.parse_p_mb(r, mb_type, mb_x, mb_y,
                                                  cur_slice, prev_qp, hdr)
+            elif hdr.is_b:
+                if mb_type >= 23:
+                    _, prev_qp = self.parse_i_mb(r, mb_type - 23, mb_x, mb_y,
+                                                 cur_slice, prev_qp)
+                else:
+                    _, prev_qp = self.parse_b_mb(r, mb_type, mb_x, mb_y,
+                                                 cur_slice, prev_qp, hdr,
+                                                 l0, l1, cur_poc)
             else:
                 _, prev_qp = self.parse_i_mb(r, mb_type, mb_x, mb_y,
                                              cur_slice, prev_qp)

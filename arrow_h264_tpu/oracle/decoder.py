@@ -131,7 +131,7 @@ class OracleDecoder:
                     reflists = (self.dpb.init_list_p(hdr), ())
                 elif hdr.is_b:
                     reflists = self.dpb.init_lists_b(hdr, cur_poc)
-                cur_pic.parse_slice(r, hdr, reflists)
+                cur_pic.parse_slice(r, hdr, reflists, cur_poc)
         if cur_pic is not None:
             yield from self._finish_picture(cur_pic, cur_poc)
         if self.dpb is not None:
@@ -139,14 +139,17 @@ class OracleDecoder:
                 yield self._emit(planes)
 
     def _finish_picture(self, pic: PictureParse, poc: int):
-        y, cb, cr = Reconstructor(pic).run()
+        y, cb, cr = Reconstructor(pic, poc).run()
         y = y.astype(np.uint8)
         cb = cb.astype(np.uint8)
         cr = cr.astype(np.uint8)
         meta = build_deblock_meta(pic)
         deblock_frame(y, cb, cr, meta)
         hdr = pic.headers[0]
-        outputs, _ = self.dpb.store((y, cb, cr, pic.sps), hdr, poc)
+        outputs, stored = self.dpb.store((y, cb, cr, pic.sps), hdr, poc)
+        if stored.is_ref:
+            stored.col_mv, stored.col_refidx, stored.col_ref_uid = \
+                pic.build_col_motion()
         for planes in outputs:
             yield self._emit(planes)
 

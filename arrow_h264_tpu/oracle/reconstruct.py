@@ -19,7 +19,25 @@ from ..common.tables import (
 from ..mb.parse import PictureParse
 from ..mb.types import MB_I16x16, MB_IPCM, MB_PSKIP, MBRecord
 from . import intra as ip
-from .inter import chroma_block_mc, luma_block_mc, weight_uni
+from .inter import (
+    chroma_block_mc, default_bi, luma_block_mc, weight_bi, weight_uni,
+)
+
+
+def implicit_weights(cur_poc: int, p0, p1) -> tuple[int, int]:
+    """Implicit weighted bi-prediction weights (spec 8.4.2.3.1)."""
+    if p0.long_term or p1.long_term:
+        return 32, 32
+    td = max(-128, min(127, p1.poc - p0.poc))
+    if td == 0:
+        return 32, 32
+    tb = max(-128, min(127, cur_poc - p0.poc))
+    tx = (16384 + (abs(td) >> 1)) // td
+    dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
 from .transforms import (
     chroma_dc_dequant, dequant4x4, dequant8x8, idct4x4, idct8x8,
     inverse_scan_4x4, inverse_scan_8x8, luma_dc_dequant,
@@ -32,8 +50,9 @@ def _clip_u8(a: np.ndarray) -> np.ndarray:
 
 
 class Reconstructor:
-    def __init__(self, pic: PictureParse):
+    def __init__(self, pic: PictureParse, poc: int = 0):
         self.pic = pic
+        self.poc = poc
         self.sps: SPS = pic.sps
         self.pps: PPS = pic.pps
         self.mb_w = pic.mb_w
@@ -166,35 +185,70 @@ class Reconstructor:
     # -- inter (P) ----------------------------------------------------------
 
     def _recon_inter(self, mb: MBRecord) -> None:
-        """MC + residual for P macroblocks, per 4x4 luma / 2x2 chroma block."""
+        """MC + residual for P/B macroblocks, per 4x4 luma / 2x2 chroma block."""
         hdr = self.pic.headers[mb.slice_id]
-        l0 = self.pic.slice_reflists[mb.slice_id][0]
+        lists = self.pic.slice_reflists[mb.slice_id]
         x0, y0 = mb.mb_x * 16, mb.mb_y * 16
-        weighted = bool(self.pps.weighted_pred_flag) and hdr.is_p
+        explicit = (bool(self.pps.weighted_pred_flag) and hdr.is_p) or \
+            (self.pps.weighted_bipred_idc == 1 and hdr.is_b)
+        implicit = self.pps.weighted_bipred_idc == 2 and hdr.is_b
         pred_y = np.zeros((16, 16), np.int32)
         pred_c = [np.zeros((8, 8), np.int32), np.zeros((8, 8), np.int32)]
+        pw_tabs = (hdr.pred_weights_l0, hdr.pred_weights_l1)
         for y4 in range(4):
             for x4 in range(4):
-                ref_idx = int(mb.refidx[0, y4, x4])
-                mvx = int(mb.mvs[0, y4, x4, 0])
-                mvy = int(mb.mvs[0, y4, x4, 1])
-                ref = l0[ref_idx]
-                ry, rcb, rcr = ref.planes[0], ref.planes[1], ref.planes[2]
-                py = luma_block_mc(ry, x0 + 4 * x4, y0 + 4 * y4, mvx, mvy, 4, 4)
-                pcb = chroma_block_mc(rcb, x0 // 2 + 2 * x4, y0 // 2 + 2 * y4,
-                                      mvx, mvy, 2, 2)
-                pcr = chroma_block_mc(rcr, x0 // 2 + 2 * x4, y0 // 2 + 2 * y4,
-                                      mvx, mvy, 2, 2)
-                if weighted:
-                    pw = hdr.pred_weights_l0[ref_idx]
-                    py = weight_uni(py, pw.luma_weight, pw.luma_offset,
-                                    hdr.luma_log2_weight_denom)
-                    pcb = weight_uni(pcb, pw.chroma_weight[0],
-                                     pw.chroma_offset[0],
-                                     hdr.chroma_log2_weight_denom)
-                    pcr = weight_uni(pcr, pw.chroma_weight[1],
-                                     pw.chroma_offset[1],
-                                     hdr.chroma_log2_weight_denom)
+                parts = []   # (list, refpic, pred_y, pred_cb, pred_cr, refidx)
+                for lst in range(2):
+                    ref_idx = int(mb.refidx[lst, y4, x4])
+                    if ref_idx < 0:
+                        continue
+                    mvx = int(mb.mvs[lst, y4, x4, 0])
+                    mvy = int(mb.mvs[lst, y4, x4, 1])
+                    ref = lists[lst][ref_idx]
+                    ry, rcb, rcr = ref.planes[0], ref.planes[1], ref.planes[2]
+                    py = luma_block_mc(ry, x0 + 4 * x4, y0 + 4 * y4,
+                                       mvx, mvy, 4, 4)
+                    pcb = chroma_block_mc(rcb, x0 // 2 + 2 * x4,
+                                          y0 // 2 + 2 * y4, mvx, mvy, 2, 2)
+                    pcr = chroma_block_mc(rcr, x0 // 2 + 2 * x4,
+                                          y0 // 2 + 2 * y4, mvx, mvy, 2, 2)
+                    parts.append((lst, ref, py, pcb, pcr, ref_idx))
+                if len(parts) == 2:
+                    _, r0, y0p, cb0, cr0, i0 = parts[0]
+                    _, r1, y1p, cb1, cr1, i1 = parts[1]
+                    if explicit:
+                        w0, w1 = pw_tabs[0][i0], pw_tabs[1][i1]
+                        ld, cd = hdr.luma_log2_weight_denom, \
+                            hdr.chroma_log2_weight_denom
+                        py = weight_bi(y0p, y1p, w0.luma_weight, w1.luma_weight,
+                                       w0.luma_offset, w1.luma_offset, ld)
+                        pcb = weight_bi(cb0, cb1, w0.chroma_weight[0],
+                                        w1.chroma_weight[0], w0.chroma_offset[0],
+                                        w1.chroma_offset[0], cd)
+                        pcr = weight_bi(cr0, cr1, w0.chroma_weight[1],
+                                        w1.chroma_weight[1], w0.chroma_offset[1],
+                                        w1.chroma_offset[1], cd)
+                    elif implicit:
+                        iw0, iw1 = implicit_weights(self.poc, r0, r1)
+                        py = weight_bi(y0p, y1p, iw0, iw1, 0, 0, 5)
+                        pcb = weight_bi(cb0, cb1, iw0, iw1, 0, 0, 5)
+                        pcr = weight_bi(cr0, cr1, iw0, iw1, 0, 0, 5)
+                    else:
+                        py = default_bi(y0p, y1p)
+                        pcb = default_bi(cb0, cb1)
+                        pcr = default_bi(cr0, cr1)
+                else:
+                    lst, _, py, pcb, pcr, ref_idx = parts[0]
+                    if explicit:
+                        pw = pw_tabs[lst][ref_idx]
+                        py = weight_uni(py, pw.luma_weight, pw.luma_offset,
+                                        hdr.luma_log2_weight_denom)
+                        pcb = weight_uni(pcb, pw.chroma_weight[0],
+                                         pw.chroma_offset[0],
+                                         hdr.chroma_log2_weight_denom)
+                        pcr = weight_uni(pcr, pw.chroma_weight[1],
+                                         pw.chroma_offset[1],
+                                         hdr.chroma_log2_weight_denom)
                 pred_y[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4] = py
                 pred_c[0][2 * y4:2 * y4 + 2, 2 * x4:2 * x4 + 2] = pcb
                 pred_c[1][2 * y4:2 * y4 + 2, 2 * x4:2 * x4 + 2] = pcr

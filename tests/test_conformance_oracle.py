@@ -83,3 +83,19 @@ def test_config2_multiref_and_slices(h264ref, tmp_path):
     golden, gw, gh = streams.golden_decode(path)
     ours = _decode_ours(path)
     _compare(ours, golden, w, h)
+
+
+@pytest.mark.parametrize("direct", ["spatial", "temporal"])
+def test_config3_b_frames_cavlc(h264ref, tmp_path, direct):
+    """B-frames with CAVLC: direct modes, bi-pred, implicit weighting."""
+    w, h = 320, 240
+    yuv = streams.make_content(w, h, 9, seed=11)
+    path = str(tmp_path / f"b_{direct}.264")
+    opts = ["profile=main", "qp=26", "g=250", "bf=2", "refs=3",
+            "keyint_min=25",
+            f"x264-params=cabac=0:weightb=1:b-pyramid=0:direct={direct}:"
+            f"subme=7:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)

@@ -49,6 +49,20 @@ static int do_decode(const char *inpath, const char *outpath) {
     uint8_t buf[65536 + AV_INPUT_BUFFER_PADDING_SIZE];
     int nframes = 0, W = 0, H = 0;
     int eof = 0;
+
+#define DRAIN_FRAMES() do { \
+    for (;;) { \
+        int r = avcodec_receive_frame(ctx, frame); \
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break; \
+        if (r < 0) die("decode error"); \
+        if (frame->format != AV_PIX_FMT_YUV420P && \
+            frame->format != AV_PIX_FMT_YUVJ420P) \
+            die("unexpected pixel format (want yuv420p)"); \
+        W = frame->width; H = frame->height; \
+        write_frame_yuv(fo, frame); \
+        nframes++; \
+    } } while (0)
+
     while (!eof) {
         size_t n = fread(buf, 1, 65536, fi);
         if (n == 0) eof = 1;
@@ -61,26 +75,28 @@ static int do_decode(const char *inpath, const char *outpath) {
                                         AV_NOPTS_VALUE, AV_NOPTS_VALUE, 0);
             if (used < 0) die("parse error");
             data += used; remaining -= used;
-            if (out_size > 0 || eof) {
-                if (out_size > 0) {
-                    pkt->data = out_data; pkt->size = out_size;
-                    if (avcodec_send_packet(ctx, pkt) < 0) die("send_packet failed");
-                } else {
-                    avcodec_send_packet(ctx, NULL);
-                }
-                for (;;) {
-                    int r = avcodec_receive_frame(ctx, frame);
-                    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
-                    if (r < 0) die("decode error");
-                    if (frame->format != AV_PIX_FMT_YUV420P &&
-                        frame->format != AV_PIX_FMT_YUVJ420P)
-                        die("unexpected pixel format (want yuv420p)");
-                    W = frame->width; H = frame->height;
-                    write_frame_yuv(fo, frame);
-                    nframes++;
-                }
+            if (out_size > 0) {
+                pkt->data = out_data; pkt->size = out_size;
+                if (avcodec_send_packet(ctx, pkt) < 0) die("send_packet failed");
+                DRAIN_FRAMES();
             }
-        } while (remaining > 0 || (eof && parser->cur_offset == 0 && 0));
+        } while (remaining > 0 || (eof && parser->cur_offset >= 0 && 0));
+        if (eof) {
+            /* keep parsing with empty input until the parser stops emitting */
+            for (;;) {
+                uint8_t *out_data; int out_size;
+                int used = av_parser_parse2(parser, ctx, &out_data, &out_size,
+                                            buf, 0, AV_NOPTS_VALUE,
+                                            AV_NOPTS_VALUE, 0);
+                (void)used;
+                if (out_size <= 0) break;
+                pkt->data = out_data; pkt->size = out_size;
+                if (avcodec_send_packet(ctx, pkt) < 0) die("send_packet failed");
+                DRAIN_FRAMES();
+            }
+            avcodec_send_packet(ctx, NULL);   /* flush delayed frames */
+            DRAIN_FRAMES();
+        }
     }
     printf("%d %d %d\n", nframes, W, H);
     fclose(fi); fclose(fo);
