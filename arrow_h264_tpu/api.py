@@ -110,7 +110,7 @@ class Decoder:
                 yield self._emit(planes)
 
     def _finish(self, pic: PictureParse, poc: int):
-        abi = pack_frame(pic)
+        abi = pack_frame(pic, poc)
         pipeline = self._pipeline(pic.sps, pic.pps)
         y, cb, cr = pipeline.decode_frame(abi)   # device arrays
         hdr = pic.headers[0]

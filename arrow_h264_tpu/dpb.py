@@ -148,11 +148,15 @@ class DPB:
         l1 = after + before + lt
         if len(l0) > 1 and len(l1) > 1 and l0 == l1:
             l1 = [l1[1], l1[0]] + l1[2:]
-        l0 = self._reorder(l0, hdr.ref_pic_list_mods_l0, hdr,
+        # Temporal direct may produce refIdxL0 > num_ref_idx_l0_active-1
+        # (spec 8.4.1.2.3 note): keep the initial-order tail past num_active.
+        f0 = self._reorder(l0, hdr.ref_pic_list_mods_l0, hdr,
                            hdr.num_ref_idx_l0_active)
-        l1 = self._reorder(l1, hdr.ref_pic_list_mods_l1, hdr,
+        f1 = self._reorder(l1, hdr.ref_pic_list_mods_l1, hdr,
                            hdr.num_ref_idx_l1_active)
-        return l0, l1
+        f0 = f0 + [p for p in l0 if p not in f0]
+        f1 = f1 + [p for p in l1 if p not in f1]
+        return f0, f1
 
     def _reorder(self, lst, mods, hdr: SliceHeader, num_active: int):
         lst = list(lst)[:]

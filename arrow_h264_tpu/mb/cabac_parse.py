@@ -139,8 +139,9 @@ class CabacSliceParser:
         nb_b = self._nb_mb(mb_x, mb_y - 1)
 
         def l_bit(nb, b8) -> int:
+            # neighbor's cbp bit; UNAVAILABLE acts as bit SET (condTerm 0)
             if nb is None:
-                return 1  # "unavailable -> condTerm 0" (bit treated set)
+                return 1
             if nb.category == MB_IPCM:
                 return 1
             if nb.category in (MB_PSKIP, MB_BSKIP):
@@ -189,7 +190,12 @@ class CabacSliceParser:
         def cond(nx, ny) -> int:
             av, ref, _ = self.pic._mv_neighbor(lst, nx, ny, self.cur_slice,
                                                cur_key)
-            return 1 if (av and ref > 0) else 0
+            if not av or ref <= 0:
+                return 0
+            # direct-predicted partitions contribute 0 (9.3.3.1.1.6)
+            if self.pic.direct_grid[ny >> 2, nx >> 2]:
+                return 0
+            return 1
 
         inc = cond(px - 1, py) + 2 * cond(px, py - 1)
         if not d.decision(54 + inc):
@@ -261,8 +267,8 @@ class CabacSliceParser:
                 mag = 1
             else:
                 inc1 = 5 + min(4 - (1 if cat == 3 else 0), num_gt1)
-                k = 1 + d.unary(lambda i, _c=inc1: abs_base + _c, c_max=12)
-                if k == 13:
+                k = 1 + d.unary(lambda i, _c=inc1: abs_base + _c, c_max=13)
+                if k == 14:
                     k += d.expgolomb_bypass(0)
                 mag = 1 + k
             if mag == 1:
@@ -464,20 +470,20 @@ class CabacSliceParser:
             return 0
         if not d.decision(30):
             return 1 + d.decision(32)
-        t = 3
-        if d.decision(31):
-            if d.decision(32):
-                return 11 + d.decision(32)
-            t += 4
-        t += 2 * d.decision(32)
-        t += d.decision(32)
-        if t == 25:  # '111101' escape -> intra
+        bits = d.decision(31) << 3
+        bits |= d.decision(32) << 2
+        bits |= d.decision(32) << 1
+        bits |= d.decision(32)
+        if bits < 8:
+            return bits + 3
+        if bits == 13:
             return 23 + self.mb_type_i_suffix_b()
-        if t == 26:  # '111110' -> B_L1_L0_8x16 (11)
+        if bits == 14:
             return 11
-        if t == 27:  # '111111' -> B_8x8 (22)
+        if bits == 15:
             return 22
-        return t
+        bits = (bits << 1) | d.decision(32)
+        return bits - 4
 
     def mb_type_i_suffix_b(self) -> int:
         d = self.dec
@@ -507,3 +513,356 @@ class CabacSliceParser:
         t += 2 * d.decision(39)
         t += d.decision(39)
         return t
+
+    # -- macroblock parsing -------------------------------------------------
+
+    def parse_i_mb(self, mb_type: int, mb_x: int, mb_y: int,
+                   prev_qp: int) -> int:
+        """Parse one I macroblock (CABAC).  Returns new prev_qp."""
+        pic = self.pic
+        pps = pic.pps
+        cs = self.cur_slice
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cs)
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+        pic.order_grid[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
+
+        if mb_type == 25:  # I_PCM
+            mb.category = MB_IPCM
+            self.dec.flush()
+            r = self.dec.r
+            r.align()
+            mb.pcm_samples = np.array([r.u(8) for _ in range(384)], np.uint8)
+            self.dec.reinit()
+            mb.qp = prev_qp
+            mb.tc_luma[:] = 16
+            pic.tc_luma[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = 16
+            pic.tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            pic.tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            pic.cbf_luma[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = 1
+            pic.cbf_luma_dc[mb_y, mb_x] = 1
+            pic.cbf_cdc[:, mb_y, mb_x] = 1
+            pic.cbf_cac[:, mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 1
+            pic.mbs[mb_y * pic.mb_w + mb_x] = mb
+            pic.slice_map[mb_y, mb_x] = cs
+            self.prev_qp_delta = 0
+            return prev_qp
+
+        if mb_type == 0:  # I_NxN
+            if pps.transform_8x8_mode_flag:
+                mb.transform_8x8 = bool(
+                    self.dec.decision(399 + self._tr8_inc(mb_x, mb_y)))
+            mb.category = MB_I8x8 if mb.transform_8x8 else MB_I4x4
+            pic.mbs[mb_y * pic.mb_w + mb_x] = mb
+            pic.slice_map[mb_y, mb_x] = cs
+            cur_modes = {}
+            if mb.transform_8x8:
+                from ..common.tables import BLK8_X, BLK8_Y
+                for blk in range(4):
+                    bx = mb_x * 4 + BLK8_X[blk] * 2
+                    by = mb_y * 4 + BLK8_Y[blk] * 2
+                    pred = pic.pred_intra4x4_mode(bx, by, cs, cur_modes)
+                    mode = self.intra4x4_mode(pred)
+                    mb.i8_modes[blk] = mode
+                    for dy in range(2):
+                        for dx in range(2):
+                            cur_modes[(bx + dx, by + dy)] = mode
+                            pic.mode_map[by + dy, bx + dx] = mode
+            else:
+                from ..common.tables import BLK4_X, BLK4_Y
+                for blk in range(16):
+                    bx = mb_x * 4 + BLK4_X[blk]
+                    by = mb_y * 4 + BLK4_Y[blk]
+                    pred = pic.pred_intra4x4_mode(bx, by, cs, cur_modes)
+                    mode = self.intra4x4_mode(pred)
+                    mb.i4_modes[blk] = mode
+                    cur_modes[(bx, by)] = mode
+                    pic.mode_map[by, bx] = mode
+            mb.chroma_mode = self.intra_chroma_mode(mb_x, mb_y)
+            mb.cbp_luma, mb.cbp_chroma = self.cbp(mb_x, mb_y)
+        else:  # I_16x16
+            mb.category = MB_I16x16
+            mb.i16_mode, mb.cbp_chroma, mb.cbp_luma = i16_fields(mb_type - 1)
+            pic.mbs[mb_y * pic.mb_w + mb_x] = mb
+            pic.slice_map[mb_y, mb_x] = cs
+            mb.chroma_mode = self.intra_chroma_mode(mb_x, mb_y)
+
+        if mb.cbp_luma or mb.cbp_chroma or mb.category == MB_I16x16:
+            prev_qp = (prev_qp + self.mb_qp_delta() + 52) % 52
+        else:
+            self.prev_qp_delta = 0
+        mb.qp = prev_qp
+        self.parse_residual(mb, mb_x, mb_y)
+        return prev_qp
+
+    def _write_refs_early(self, lst, px, py, w, h, ref):
+        """Write a partition's ref to the grid before its mvd parse (the
+        ref_idx ctx of later partitions needs it)."""
+        bx0, by0 = px >> 2, py >> 2
+        self.pic.ref_grid[lst, by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = ref
+
+    def _store_mvd(self, lst, px, py, w, h, mvd):
+        bx0, by0 = px >> 2, py >> 2
+        self.pic.mvd_grid[lst, by0:by0 + (h >> 2), bx0:bx0 + (w >> 2)] = mvd
+
+    def parse_p_mb(self, mb_type: int, mb_x: int, mb_y: int,
+                   prev_qp: int) -> int:
+        pic = self.pic
+        cs = self.cur_slice
+        hdr = self.hdr
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cs)
+        mb.category = MB_P
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+        mb.mvs = np.zeros((2, 4, 4, 2), np.int32)
+        mb.refidx = np.full((2, 4, 4), -1, np.int8)
+        pic.mbs[mb_y * pic.mb_w + mb_x] = mb
+        pic.slice_map[mb_y, mb_x] = cs
+        x0, y0 = mb_x * 16, mb_y * 16
+        n_ref = hdr.num_ref_idx_l0_active
+        sub_types = None
+
+        if mb_type in (3, 4):
+            sub_types = [self.sub_mb_type_p() for _ in range(4)]
+            for i8 in range(4):
+                sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                ns, sw, sh = P_SUB_SHAPES[sub_types[i8]]
+                for s in range(ns):
+                    px, py = pic._sub_part_xy(sx0, sy0, sw, sh, s)
+                    pic._assign_key(px, py, sw, sh, i8 * 8 + s)
+            refs = []
+            for i8 in range(4):
+                sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                ref = self.ref_idx(0, sx0, sy0, i8 * 8, n_ref)
+                refs.append(ref)
+                ns, sw, sh = P_SUB_SHAPES[sub_types[i8]]
+                for s in range(ns):
+                    px, py = pic._sub_part_xy(sx0, sy0, sw, sh, s)
+                    self._write_refs_early(0, px, py, sw, sh, ref)
+            for i8 in range(4):
+                sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                ns, sw, sh = P_SUB_SHAPES[sub_types[i8]]
+                for s in range(ns):
+                    px, py = pic._sub_part_xy(sx0, sy0, sw, sh, s)
+                    key = i8 * 8 + s
+                    mvd = (self.mvd(0, 0, px, py, key),
+                           self.mvd(0, 1, px, py, key))
+                    self._store_mvd(0, px, py, sw, sh, mvd)
+                    mvp = pic.predict_mv(0, refs[i8], px, py, sw, sh, cs,
+                                         cur_key=key)
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    pic._set_part(mb, 0, px, py, sw, sh, refs[i8], mv)
+        else:
+            n_parts, pw, ph = P_SHAPES[mb_type]
+            coords = []
+            for p in range(n_parts):
+                if mb_type == 0:
+                    px, py, kind = x0, y0, 0
+                elif mb_type == 1:
+                    px, py, kind = x0, y0 + p * 8, 1 + p
+                else:
+                    px, py, kind = x0 + p * 8, y0, 3 + p
+                coords.append((px, py, kind))
+                pic._assign_key(px, py, pw, ph, p * 8)
+            refs = []
+            for p, (px, py, kind) in enumerate(coords):
+                ref = self.ref_idx(0, px, py, p * 8, n_ref)
+                refs.append(ref)
+                self._write_refs_early(0, px, py, pw, ph, ref)
+            for p, (px, py, kind) in enumerate(coords):
+                mvd = (self.mvd(0, 0, px, py, p * 8),
+                       self.mvd(0, 1, px, py, p * 8))
+                self._store_mvd(0, px, py, pw, ph, mvd)
+                mvp = pic.predict_mv(0, refs[p], px, py, pw, ph, cs,
+                                     part_kind=kind, cur_key=p * 8)
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                pic._set_part(mb, 0, px, py, pw, ph, refs[p], mv)
+        pic._finish_mb_keys(mb_x, mb_y)
+
+        mb.cbp_luma, mb.cbp_chroma = self.cbp(mb_x, mb_y)
+        if mb.cbp_luma and pic.pps.transform_8x8_mode_flag:
+            no_small = mb_type not in (3, 4) or all(st == 0 for st in sub_types)
+            if no_small:
+                mb.transform_8x8 = bool(
+                    self.dec.decision(399 + self._tr8_inc(mb_x, mb_y)))
+        if mb.cbp_luma or mb.cbp_chroma:
+            prev_qp = (prev_qp + self.mb_qp_delta() + 52) % 52
+        else:
+            self.prev_qp_delta = 0
+        mb.qp = prev_qp
+        self.parse_residual(mb, mb_x, mb_y)
+        return prev_qp
+
+    def parse_b_mb(self, mb_type: int, mb_x: int, mb_y: int,
+                   prev_qp: int) -> int:
+        pic = self.pic
+        cs = self.cur_slice
+        hdr = self.hdr
+        mb = MBRecord(mb_x=mb_x, mb_y=mb_y, slice_id=cs)
+        mb.category = MB_BDIRECT16 if mb_type == 0 else MB_B
+        mb.tc_luma = np.zeros((4, 4), np.int32)
+        mb.mvs = np.zeros((2, 4, 4, 2), np.int32)
+        mb.refidx = np.full((2, 4, 4), -1, np.int8)
+        pic.mbs[mb_y * pic.mb_w + mb_x] = mb
+        pic.slice_map[mb_y, mb_x] = cs
+        x0, y0 = mb_x * 16, mb_y * 16
+        n_ref = (hdr.num_ref_idx_l0_active, hdr.num_ref_idx_l1_active)
+        sub_types = None
+
+        if mb_type == 0:
+            pic.fill_direct(mb, mb_x, mb_y, cs, hdr, self.l0, self.l1,
+                            self.cur_poc)
+            pic._finish_mb_keys(mb_x, mb_y)
+        elif mb_type == 22:
+            sub_types = [self.sub_mb_type_b() for _ in range(4)]
+            for i8 in range(4):
+                st = sub_types[i8]
+                _, ns, sw, sh, pred = B_SUB_MODES[st]
+                sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                if pred == 3:
+                    pic._assign_key(sx0, sy0, 8, 8, i8 * 8)
+                else:
+                    for s in range(ns):
+                        px, py = pic._sub_part_xy(sx0, sy0, sw, sh, s)
+                        pic._assign_key(px, py, sw, sh, i8 * 8 + s)
+            for i8 in range(4):
+                if B_SUB_MODES[sub_types[i8]][4] == 3:
+                    cells = [(2 * (i8 // 2) + dy, 2 * (i8 % 2) + dx)
+                             for dy in range(2) for dx in range(2)]
+                    pic.fill_direct(mb, mb_x, mb_y, cs, hdr, self.l0, self.l1,
+                                    self.cur_poc, blocks=cells)
+            refs = [[0] * 4, [0] * 4]
+            for lst in range(2):
+                for i8 in range(4):
+                    st = sub_types[i8]
+                    _, ns, sw, sh, pred = B_SUB_MODES[st]
+                    if pred == 3 or (pred != 2 and pred != lst):
+                        continue
+                    sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                    ref = self.ref_idx(lst, sx0, sy0, i8 * 8, n_ref[lst])
+                    refs[lst][i8] = ref
+                    for s in range(ns):
+                        px, py = pic._sub_part_xy(sx0, sy0, sw, sh, s)
+                        self._write_refs_early(lst, px, py, sw, sh, ref)
+            for lst in range(2):
+                for i8 in range(4):
+                    st = sub_types[i8]
+                    _, ns, sw, sh, pred = B_SUB_MODES[st]
+                    if pred == 3 or (pred != 2 and pred != lst):
+                        continue
+                    sx0, sy0 = x0 + (i8 % 2) * 8, y0 + (i8 // 2) * 8
+                    for s in range(ns):
+                        px, py = pic._sub_part_xy(sx0, sy0, sw, sh, s)
+                        key = i8 * 8 + s
+                        mvd = (self.mvd(lst, 0, px, py, key),
+                               self.mvd(lst, 1, px, py, key))
+                        self._store_mvd(lst, px, py, sw, sh, mvd)
+                        mvp = pic.predict_mv(lst, refs[lst][i8], px, py,
+                                             sw, sh, cs, cur_key=key)
+                        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                        pic._set_part(mb, lst, px, py, sw, sh,
+                                      refs[lst][i8], mv)
+            pic._finish_mb_keys(mb_x, mb_y)
+        else:
+            _, (n_parts, pw, ph), preds = B_MODES[mb_type]
+            coords = []
+            for p in range(n_parts):
+                if n_parts == 1:
+                    px, py, kind = x0, y0, 0
+                elif ph == 8:
+                    px, py, kind = x0, y0 + p * 8, 1 + p
+                else:
+                    px, py, kind = x0 + p * 8, y0, 3 + p
+                coords.append((px, py, kind))
+                pic._assign_key(px, py, pw, ph, p * 8)
+            refs = [[0] * n_parts, [0] * n_parts]
+            for lst in range(2):
+                for p, (px, py, kind) in enumerate(coords):
+                    if not (preds[p] == 2 or preds[p] == lst):
+                        continue
+                    ref = self.ref_idx(lst, px, py, p * 8, n_ref[lst])
+                    refs[lst][p] = ref
+                    self._write_refs_early(lst, px, py, pw, ph, ref)
+            for lst in range(2):
+                for p, (px, py, kind) in enumerate(coords):
+                    if not (preds[p] == 2 or preds[p] == lst):
+                        continue
+                    mvd = (self.mvd(lst, 0, px, py, p * 8),
+                           self.mvd(lst, 1, px, py, p * 8))
+                    self._store_mvd(lst, px, py, pw, ph, mvd)
+                    mvp = pic.predict_mv(lst, refs[lst][p], px, py, pw, ph,
+                                         cs, part_kind=kind, cur_key=p * 8)
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    pic._set_part(mb, lst, px, py, pw, ph, refs[lst][p], mv)
+            pic._finish_mb_keys(mb_x, mb_y)
+
+        mb.cbp_luma, mb.cbp_chroma = self.cbp(mb_x, mb_y)
+        if mb.cbp_luma and pic.pps.transform_8x8_mode_flag:
+            if mb_type == 0:
+                ok = bool(pic.sps.direct_8x8_inference_flag)
+            elif sub_types is not None:
+                ok = all((B_SUB_MODES[st][4] == 3 and
+                          pic.sps.direct_8x8_inference_flag)
+                         or (B_SUB_MODES[st][2] == 8 and B_SUB_MODES[st][3] == 8)
+                         for st in sub_types)
+            else:
+                ok = True
+            if ok:
+                mb.transform_8x8 = bool(
+                    self.dec.decision(399 + self._tr8_inc(mb_x, mb_y)))
+        if mb.cbp_luma or mb.cbp_chroma:
+            prev_qp = (prev_qp + self.mb_qp_delta() + 52) % 52
+        else:
+            self.prev_qp_delta = 0
+        mb.qp = prev_qp
+        self.parse_residual(mb, mb_x, mb_y)
+        return prev_qp
+
+    def parse_skip(self, mb_x: int, mb_y: int, prev_qp: int):
+        pic = self.pic
+        self.prev_qp_delta = 0
+        if self.hdr.is_p:
+            pic.parse_p_skip(mb_x, mb_y, self.cur_slice, prev_qp)
+        else:
+            pic.parse_b_skip(mb_x, mb_y, self.cur_slice, prev_qp,
+                             self.hdr, self.l0, self.l1, self.cur_poc)
+
+    # -- slice loop ---------------------------------------------------------
+
+    def parse(self) -> None:
+        pic = self.pic
+        hdr = self.hdr
+        prev_qp = self.qp
+        addr = hdr.first_mb_in_slice
+        n = pic.mb_w * pic.mb_h
+        while True:
+            if addr >= n:
+                raise ValueError("CABAC slice overruns picture")
+            mb_x, mb_y = addr % pic.mb_w, addr // pic.mb_w
+            if hdr.is_p or hdr.is_b:
+                ctx_base = 11 if hdr.is_p else 24
+                skip = self.dec.decision(ctx_base + self._skip_inc(mb_x, mb_y))
+                if skip:
+                    self.parse_skip(mb_x, mb_y, prev_qp)
+                else:
+                    if hdr.is_p:
+                        t = self.mb_type_p()
+                        if t >= 5:
+                            prev_qp = self.parse_i_mb(t - 5, mb_x, mb_y, prev_qp)
+                        else:
+                            prev_qp = self.parse_p_mb(t, mb_x, mb_y, prev_qp)
+                    else:
+                        t = self.mb_type_b(mb_x, mb_y)
+                        if t >= 23:
+                            prev_qp = self.parse_i_mb(t - 23, mb_x, mb_y, prev_qp)
+                        else:
+                            prev_qp = self.parse_b_mb(t, mb_x, mb_y, prev_qp)
+            else:
+                t = self.mb_type_i(mb_x, mb_y)
+                prev_qp = self.parse_i_mb(t, mb_x, mb_y, prev_qp)
+            addr += 1
+            if self.dec.terminate():
+                break
+
+
+def parse_slice_cabac(pic, r: BitReader, hdr: SliceHeader, reflists,
+                      cur_poc: int) -> None:
+    CabacSliceParser(pic, r, hdr, reflists, cur_poc).parse()

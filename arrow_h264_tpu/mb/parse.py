@@ -49,6 +49,9 @@ class PictureParse:
         self.ORDER_UNDECODED = 1 << 30
         self.order_grid = np.full((self.mb_h * 4, self.mb_w * 4),
                                   self.ORDER_UNDECODED, np.int32)
+        # cells whose motion came from a DIRECT derivation (B skip/direct):
+        # excluded from the CABAC ref_idx context (spec 9.3.3.1.1.6)
+        self.direct_grid = np.zeros((self.mb_h * 4, self.mb_w * 4), bool)
         # per-slice reference lists (DPBPicture lists), set by the driver
         self.slice_reflists: list[tuple] = []
 
@@ -549,6 +552,8 @@ class PictureParse:
         """Derive direct MVs for the given 4x4 cells (default: whole MB)."""
         cells = blocks if blocks is not None else \
             [(y4, x4) for y4 in range(4) for x4 in range(4)]
+        for (y4, x4) in cells:
+            self.direct_grid[mb_y * 4 + y4, mb_x * 4 + x4] = True
         if hdr.direct_spatial_mv_pred_flag:
             ref0, ref1, mvp0, mvp1, zero_pred = \
                 self._direct_spatial_ctx(mb_x, mb_y, cur_slice)

@@ -77,7 +77,7 @@ class FrameABI(dict):
         return self["kind"].shape[0]
 
 
-def pack_frame(pic: PictureParse) -> FrameABI:
+def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
     mb_w, mb_h = pic.mb_w, pic.mb_h
     n = mb_w * mb_h
     abi = FrameABI(
@@ -218,9 +218,21 @@ def pack_frame(pic: PictureParse) -> FrameABI:
             l0, l1 = pic.slice_reflists[mb.slice_id]
             weighted_p = bool(pic.pps.weighted_pred_flag) and hdr.is_p
             weighted_b = pic.pps.weighted_bipred_idc == 1 and hdr.is_b
+            implicit_b = pic.pps.weighted_bipred_idc == 2 and hdr.is_b
             if weighted_p or weighted_b:
                 abi["logwd"][addr] = [hdr.luma_log2_weight_denom,
                                       hdr.chroma_log2_weight_denom]
+            elif implicit_b:
+                from ..oracle.reconstruct import implicit_weights
+                abi["logwd"][addr] = [5, 5]
+                abi["wp"][addr, :, :, :, :, 0] = 32  # identity at logWD 5
+                for y4 in range(4):
+                    for x4 in range(4):
+                        r0, r1 = int(mb.refidx[0, y4, x4]), int(mb.refidx[1, y4, x4])
+                        if r0 >= 0 and r1 >= 0:
+                            w0, w1 = implicit_weights(cur_poc, l0[r0], l1[r1])
+                            abi["wp"][addr, y4, x4, 0, :, 0] = w0
+                            abi["wp"][addr, y4, x4, 1, :, 0] = w1
             for lst, lref, pws in ((0, l0, hdr.pred_weights_l0),
                                    (1, l1, hdr.pred_weights_l1)):
                 if not len(lref):

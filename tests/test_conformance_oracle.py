@@ -99,3 +99,57 @@ def test_config3_b_frames_cavlc(h264ref, tmp_path, direct):
     golden, gw, gh = streams.golden_decode(path)
     ours = _decode_ours(path)
     _compare(ours, golden, w, h)
+
+
+@pytest.mark.parametrize("direct", ["spatial", "temporal"])
+def test_config3_cabac_bframes(h264ref, tmp_path, direct):
+    """Config 3: CABAC + B-frames + multi-ref (CIF for oracle speed)."""
+    w, h = 352, 288
+    yuv = streams.make_content(w, h, 8, seed=13)
+    path = str(tmp_path / f"c3_{direct}.264")
+    opts = ["profile=main", "qp=27", "g=250", "bf=2", "refs=4", "keyint_min=25",
+            f"x264-params=cabac=1:weightb=1:b-pyramid=0:direct={direct}:"
+            f"subme=7:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)
+
+
+def test_config3_720p_smoke(h264ref, tmp_path):
+    """Config 3 at full 720p (few frames; oracle is slow at this size)."""
+    w, h = 1280, 720
+    yuv = streams.make_content(w, h, 3, seed=1)
+    path = str(tmp_path / "c3_720p.264")
+    streams.encode(yuv, w, h, path, streams.CONFIG_OPTS[3])
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)
+
+
+def test_config4_high_profile(h264ref, tmp_path):
+    """Config 4: High profile - 8x8 transform, weighted pred, CABAC."""
+    w, h = 352, 288
+    yuv = streams.make_content(w, h, 8, seed=17)
+    path = str(tmp_path / "c4.264")
+    opts = ["profile=high", "qp=26", "g=250", "bf=2", "refs=4", "keyint_min=25",
+            "x264-params=cabac=1:8x8dct=1:weightp=2:weightb=1:b-pyramid=0:"
+            f"{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)
+
+
+def test_config4_custom_scaling_lists(h264ref, tmp_path):
+    """Config 4 with custom quant matrices (cqm=jvt -> SPS scaling lists)."""
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 5, seed=19)
+    path = str(tmp_path / "c4_cqm.264")
+    opts = ["profile=high", "qp=28", "g=250", "bf=1", "refs=2", "keyint_min=25",
+            "x264-params=cabac=1:8x8dct=1:cqm=jvt:b-pyramid=0:"
+            f"{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_ours(path)
+    _compare(ours, golden, w, h)

@@ -67,3 +67,33 @@ def test_device_config2_multiref(h264ref, tmp_path):
     golden, gw, gh = streams.golden_decode(path)
     ours = _decode_device(path)
     assert np.array_equal(ours, golden)
+
+
+def test_device_config3_cabac_bframes(h264ref, tmp_path):
+    """Config 3 device path: CABAC + B-frames + bi-pred + implicit weights."""
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 6, seed=23)
+    path = str(tmp_path / "d3.264")
+    opts = ["profile=main", "qp=26", "g=250", "bf=2", "refs=3", "keyint_min=25",
+            "x264-params=cabac=1:weightb=1:b-pyramid=0:direct=spatial:"
+            f"subme=7:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_device(path)
+    assert np.array_equal(ours, golden), \
+        f"{int((ours != golden).sum())} byte diffs"
+
+
+def test_device_config4_high(h264ref, tmp_path):
+    """Config 4 device path: 8x8 transform, weighted P, custom scaling."""
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 6, seed=29)
+    path = str(tmp_path / "d4.264")
+    opts = ["profile=high", "qp=26", "g=250", "bf=2", "refs=3", "keyint_min=25",
+            "x264-params=cabac=1:8x8dct=1:weightp=2:weightb=1:b-pyramid=0:"
+            f"cqm=jvt:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_device(path)
+    assert np.array_equal(ours, golden), \
+        f"{int((ours != golden).sum())} byte diffs"
