@@ -23,6 +23,7 @@ from .bitstream.bits import BitReader
 from .bitstream.params import PPS, SPS, parse_pps, parse_sps
 from .bitstream.slicehdr import parse_slice_header
 from .dpb import DPB
+from .host import centropy
 from .mb.parse import PictureParse
 from .models.pipeline import DevicePipeline
 from .oracle.decoder import crop_planes
@@ -50,14 +51,24 @@ class Frame:
 
 
 class Decoder:
-    """TPU-pipeline H.264 decoder (Baseline CAVLC I/P — configs 1-2)."""
+    """TPU-pipeline H.264 decoder (Baseline/Main/High, configs 1-4).
 
-    def __init__(self) -> None:
+    entropy="cpp" uses the native host entropy library (the shipped
+    component); "python" uses the pure-Python differential oracle parser.
+    """
+
+    def __init__(self, entropy: str = "cpp") -> None:
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self._pipelines: dict[tuple, DevicePipeline] = {}
         self.dpb: DPB | None = None
         self._dpb_sps_id: int | None = None
+        if entropy == "cpp":
+            try:
+                centropy.load_lib()
+            except Exception:
+                entropy = "python"
+        self.entropy = entropy
 
     def _pipeline(self, sps: SPS, pps: PPS) -> DevicePipeline:
         key = (sps.seq_parameter_set_id, pps.pic_parameter_set_id,
@@ -93,7 +104,9 @@ class Decoder:
                             sps.seq_parameter_set_id:
                         self.dpb = DPB(sps)
                         self._dpb_sps_id = sps.seq_parameter_set_id
-                    cur = PictureParse(sps, pps)
+                    cur = (centropy.CppPictureParse(sps, pps)
+                           if self.entropy == "cpp"
+                           else PictureParse(sps, pps))
                     cur_poc = self.dpb.compute_poc(hdr)
                 if cur is None:
                     raise ValueError("slice without picture start")
@@ -109,8 +122,11 @@ class Decoder:
             for planes in self.dpb.flush():
                 yield self._emit(planes)
 
-    def _finish(self, pic: PictureParse, poc: int):
-        abi = pack_frame(pic, poc)
+    def _finish(self, pic, poc: int):
+        if self.entropy == "cpp":
+            abi = centropy.pack_frame_cpp(pic, poc)
+        else:
+            abi = pack_frame(pic, poc)
         pipeline = self._pipeline(pic.sps, pic.pps)
         y, cb, cr = pipeline.decode_frame(abi)   # device arrays
         hdr = pic.headers[0]

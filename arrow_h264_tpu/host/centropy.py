@@ -1,0 +1,314 @@
+"""ctypes binding for the C++ host entropy library (cpp/entropy.cpp).
+
+Reference parity: the SHIPPED host entropy component per SURVEY.md §2
+("the serial entropy layers are the native-code surface ... C++ on the
+TPU-VM host"); the pure-Python parser in mb/parse.py remains the
+differential-testing oracle.
+
+`CppPictureParse` mirrors PictureParse closely enough for the decode
+drivers; `pack_frame_cpp` assembles the FrameABI mostly zero-copy from the
+C++-filled arrays.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from ..bitstream.params import PPS, SPS
+from ..bitstream.slicehdr import SliceHeader
+from ..ops.abi import FrameABI
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+_LIB_PATH = _REPO / "cpp" / "libh264entropy.so"
+_SRC = [_REPO / "cpp" / "entropy.cpp", _REPO / "cpp" / "entropy_mb.inc",
+        _REPO / "cpp" / "entropy_inter.inc", _REPO / "cpp" / "tables_gen.h"]
+
+ABI_VERSION = 3
+
+
+class _PicBuf(C.Structure):
+    _fields_ = [
+        ("mb_w", C.c_int32), ("mb_h", C.c_int32),
+        ("transform_8x8_mode", C.c_int32), ("constrained_intra", C.c_int32),
+        ("direct_8x8_inference", C.c_int32),
+    ] + [(name, C.c_void_p) for name in (
+        "kind", "cat", "qp", "tr8", "nz", "slice_id_arr", "disable_idc",
+        "alpha_off", "beta_off", "luma4", "luma8", "luma_dc", "chroma_dc",
+        "chroma_ac", "i4_modes", "i8_modes", "i16_mode", "chroma_mode",
+        "i4_avail", "i8_avail", "mb_avail", "pcm", "mv", "refidx", "cbp",
+        "tc_luma", "tc_cb", "tc_cr", "mode_map", "slice_map", "mv_grid",
+        "ref_grid", "order_grid", "direct_grid", "cbf_luma", "cbf_luma_dc",
+        "cbf_cdc", "cbf_cac", "mvd_grid")]
+
+
+class _SliceParams(C.Structure):
+    _fields_ = [
+        ("slice_type", C.c_int32), ("first_mb", C.c_int32),
+        ("slice_qp", C.c_int32), ("cabac", C.c_int32),
+        ("cabac_init_idc", C.c_int32), ("num_ref_l0", C.c_int32),
+        ("num_ref_l1", C.c_int32), ("direct_spatial", C.c_int32),
+        ("slice_id", C.c_int32), ("cur_poc", C.c_int32),
+        ("disable_deblock_idc", C.c_int32), ("alpha_off", C.c_int32),
+        ("beta_off", C.c_int32),
+        ("col_mv", C.c_void_p), ("col_refidx", C.c_void_p),
+        ("col_ref_uid", C.c_void_p),
+        ("col_longterm", C.c_int32), ("col_poc", C.c_int32),
+        ("l0_poc", C.c_void_p), ("l0_lt", C.c_void_p), ("l0_uid", C.c_void_p),
+        ("l0_len", C.c_int32),
+        ("l1_poc", C.c_void_p), ("l1_lt", C.c_void_p), ("l1_uid", C.c_void_p),
+        ("l1_len", C.c_int32),
+    ]
+
+
+_lib = None
+
+
+def load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    newest_src = max(p.stat().st_mtime for p in _SRC if p.exists())
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest_src:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB_PATH),
+             str(_SRC[0])], check=True, cwd=str(_REPO / "cpp"))
+    lib = C.CDLL(str(_LIB_PATH))
+    lib.h264e_parse_slice.restype = C.c_int
+    lib.h264e_parse_slice.argtypes = [C.POINTER(_PicBuf),
+                                      C.POINTER(_SliceParams),
+                                      C.c_void_p, C.c_int64, C.c_int64]
+    assert lib.h264e_abi_version() == ABI_VERSION
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray) -> int:
+    return a.ctypes.data
+
+
+class CppPictureParse:
+    """C++-backed per-picture parse state (drop-in for api.Decoder)."""
+
+    def __init__(self, sps: SPS, pps: PPS):
+        self.sps, self.pps = sps, pps
+        self.mb_w = sps.pic_width_in_mbs
+        self.mb_h = sps.pic_height_in_map_units
+        n = self.mb_w * self.mb_h
+        h4, w4 = self.mb_h * 4, self.mb_w * 4
+        h2, w2 = self.mb_h * 2, self.mb_w * 2
+        self.headers: list[SliceHeader] = []
+        self.slice_reflists: list[tuple] = []
+        z = lambda *shape: np.zeros(shape, np.int32)
+        self.a = a = {
+            "kind": z(n), "cat": z(n), "qp": z(n), "tr8": z(n),
+            "nz": z(n, 4, 4), "slice_id": z(n), "disable_idc": z(n),
+            "alpha_off": z(n), "beta_off": z(n),
+            "luma4": z(n, 16, 4, 4), "luma8": z(n, 4, 8, 8),
+            "luma_dc": z(n, 4, 4), "chroma_dc": z(n, 2, 2, 2),
+            "chroma_ac": z(n, 2, 2, 2, 4, 4),
+            "i4_modes": np.full((n, 16), 2, np.int32),
+            "i8_modes": np.full((n, 4), 2, np.int32),
+            "i16_mode": z(n), "chroma_mode": z(n),
+            "i4_avail": z(n, 16, 4), "i8_avail": z(n, 4, 4),
+            "mb_avail": z(n, 3), "pcm": z(n, 384),
+            "mv": z(n, 4, 4, 2, 2),
+            "refidx": np.full((n, 4, 4, 2), -1, np.int32),
+            "cbp": z(n, 2),
+            "tc_luma": z(h4, w4), "tc_cb": z(h2, w2), "tc_cr": z(h2, w2),
+            "mode_map": np.full((h4, w4), -1, np.int32),
+            "slice_map": np.full((self.mb_h, self.mb_w), -1, np.int32),
+            "mv_grid": z(2, h4, w4, 2),
+            "ref_grid": np.full((2, h4, w4), -1, np.int32),
+            "order_grid": np.full((h4, w4), 1 << 30, np.int32),
+            "direct_grid": z(h4, w4),
+            "cbf_luma": z(h4, w4), "cbf_luma_dc": z(self.mb_h, self.mb_w),
+            "cbf_cdc": z(2, self.mb_h, self.mb_w), "cbf_cac": z(2, h2, w2),
+            "mvd_grid": z(2, h4, w4, 2),
+        }
+        self.pb = _PicBuf(
+            mb_w=self.mb_w, mb_h=self.mb_h,
+            transform_8x8_mode=pps.transform_8x8_mode_flag,
+            constrained_intra=pps.constrained_intra_pred_flag,
+            direct_8x8_inference=sps.direct_8x8_inference_flag,
+        )
+        for name, key in (
+                ("kind", "kind"), ("cat", "cat"), ("qp", "qp"), ("tr8", "tr8"),
+                ("nz", "nz"), ("slice_id_arr", "slice_id"),
+                ("disable_idc", "disable_idc"), ("alpha_off", "alpha_off"),
+                ("beta_off", "beta_off"), ("luma4", "luma4"),
+                ("luma8", "luma8"), ("luma_dc", "luma_dc"),
+                ("chroma_dc", "chroma_dc"), ("chroma_ac", "chroma_ac"),
+                ("i4_modes", "i4_modes"), ("i8_modes", "i8_modes"),
+                ("i16_mode", "i16_mode"), ("chroma_mode", "chroma_mode"),
+                ("i4_avail", "i4_avail"), ("i8_avail", "i8_avail"),
+                ("mb_avail", "mb_avail"), ("pcm", "pcm"), ("mv", "mv"),
+                ("refidx", "refidx"), ("cbp", "cbp"), ("tc_luma", "tc_luma"),
+                ("tc_cb", "tc_cb"), ("tc_cr", "tc_cr"),
+                ("mode_map", "mode_map"), ("slice_map", "slice_map"),
+                ("mv_grid", "mv_grid"), ("ref_grid", "ref_grid"),
+                ("order_grid", "order_grid"), ("direct_grid", "direct_grid"),
+                ("cbf_luma", "cbf_luma"), ("cbf_luma_dc", "cbf_luma_dc"),
+                ("cbf_cdc", "cbf_cdc"), ("cbf_cac", "cbf_cac"),
+                ("mvd_grid", "mvd_grid")):
+            setattr(self.pb, name, _ptr(a[key]))
+        self._keepalive = []
+
+    def parse_slice(self, r, hdr: SliceHeader, reflists=((), ()),
+                    cur_poc: int = 0) -> None:
+        lib = load_lib()
+        slice_id = len(self.headers)
+        self.headers.append(hdr)
+        self.slice_reflists.append(reflists)
+        l0, l1 = reflists
+        sp = _SliceParams(
+            slice_type=hdr.slice_type, first_mb=hdr.first_mb_in_slice,
+            slice_qp=hdr.qp(self.pps),
+            cabac=self.pps.entropy_coding_mode_flag,
+            cabac_init_idc=hdr.cabac_init_idc,
+            num_ref_l0=hdr.num_ref_idx_l0_active,
+            num_ref_l1=hdr.num_ref_idx_l1_active,
+            direct_spatial=hdr.direct_spatial_mv_pred_flag,
+            slice_id=slice_id, cur_poc=cur_poc,
+            disable_deblock_idc=hdr.disable_deblocking_filter_idc,
+            alpha_off=2 * hdr.slice_alpha_c0_offset_div2,
+            beta_off=2 * hdr.slice_beta_offset_div2,
+        )
+        keep = []
+        if hdr.is_b and len(l1):
+            col = l1[0]
+            if col.col_mv is not None:
+                cmv = np.ascontiguousarray(col.col_mv, np.int32)
+                cref = np.ascontiguousarray(col.col_refidx, np.int8)
+                cuid = np.ascontiguousarray(col.col_ref_uid, np.int32)
+                keep += [cmv, cref, cuid]
+                sp.col_mv = _ptr(cmv)
+                sp.col_refidx = _ptr(cref)
+                sp.col_ref_uid = _ptr(cuid)
+            sp.col_longterm = int(col.long_term)
+            sp.col_poc = int(col.poc)
+        for lname, lref in (("l0", l0), ("l1", l1)):
+            poc = np.array([p.poc for p in lref], np.int32)
+            lt = np.array([p.long_term for p in lref], np.uint8)
+            uid = np.array([p.uid for p in lref], np.int32)
+            keep += [poc, lt, uid]
+            setattr(sp, f"{lname}_poc", _ptr(poc) if len(lref) else None)
+            setattr(sp, f"{lname}_lt", _ptr(lt) if len(lref) else None)
+            setattr(sp, f"{lname}_uid", _ptr(uid) if len(lref) else None)
+            setattr(sp, f"{lname}_len", len(lref))
+        self._keepalive.append(keep)
+        data = r.data
+        ret = lib.h264e_parse_slice(C.byref(self.pb), C.byref(sp),
+                                    data, len(data), r.pos)
+        if ret != 0:
+            raise ValueError(f"C++ slice parse failed: {ret}")
+
+    def finished(self) -> bool:
+        return bool((self.a["slice_map"] >= 0).all())
+
+    def build_col_motion(self):
+        """Colocated motion from the grids (vectorized numpy)."""
+        a = self.a
+        ref0 = a["ref_grid"][0]
+        ref1 = a["ref_grid"][1]
+        use0 = ref0 >= 0
+        use1 = (~use0) & (ref1 >= 0)
+        col_mv = np.where(use0[..., None], a["mv_grid"][0],
+                          np.where(use1[..., None], a["mv_grid"][1], 0))
+        col_ref = np.where(use0, ref0, np.where(use1, ref1, -1)).astype(np.int8)
+        col_uid = np.full(ref0.shape, -1, np.int32)
+        # map refidx -> uid per slice
+        slice_of_mb = a["slice_id"].reshape(self.mb_h, self.mb_w)
+        slice_blk = np.repeat(np.repeat(slice_of_mb, 4, 0), 4, 1)
+        for sid, (l0, l1) in enumerate(self.slice_reflists):
+            m = slice_blk == sid
+            for use, ref, lref in ((use0, ref0, l0), (use1, ref1, l1)):
+                if not len(lref):
+                    continue
+                uids = np.array([p.uid for p in lref], np.int32)
+                sel = m & use & (ref < len(lref))
+                col_uid[sel] = uids[np.clip(ref[sel], 0, len(lref) - 1)]
+        return col_mv, col_ref, col_uid
+
+
+def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
+    """FrameABI from the C++-filled arrays (mostly zero-copy)."""
+    a = pic.a
+    n = pic.mb_w * pic.mb_h
+    abi = FrameABI(
+        kind=a["kind"], qp=a["qp"], luma4=a["luma4"], luma8=a["luma8"],
+        luma_dc=a["luma_dc"], chroma_dc=a["chroma_dc"],
+        chroma_ac=a["chroma_ac"], i4_modes=a["i4_modes"],
+        i8_modes=a["i8_modes"], i16_mode=a["i16_mode"],
+        chroma_mode=a["chroma_mode"], i4_avail=a["i4_avail"],
+        i8_avail=a["i8_avail"], mb_avail=a["mb_avail"], pcm=a["pcm"],
+        nz=a["nz"], tr8=a["tr8"], slice_id=a["slice_id"],
+        disable_idc=a["disable_idc"], alpha_off=a["alpha_off"],
+        beta_off=a["beta_off"], mv=a["mv"],
+        refid=np.full((n, 4, 4, 2), -1, np.int32),
+        refslot=np.full((n, 4, 4, 2), -1, np.int32),
+        wp=np.zeros((n, 4, 4, 2, 3, 2), np.int32),
+        logwd=np.zeros((n, 2), np.int32),
+        mb_w=pic.mb_w, mb_h=pic.mb_h,
+    )
+    abi["wp"][..., 0] = 1
+    ridx = a["refidx"]                       # [n,4,4,2]
+    valid = ridx >= 0
+    sid = a["slice_id"]
+    from ..oracle.reconstruct import implicit_weights
+    for s, hdr in enumerate(pic.headers):
+        msel = sid == s
+        if not msel.any():
+            continue
+        lists = pic.slice_reflists[s]
+        weighted_p = bool(pic.pps.weighted_pred_flag) and hdr.is_p
+        weighted_b = pic.pps.weighted_bipred_idc == 1 and hdr.is_b
+        implicit_b = pic.pps.weighted_bipred_idc == 2 and hdr.is_b
+        for lst, lref in enumerate(lists):
+            if not len(lref):
+                continue
+            uids = np.array([p.uid for p in lref], np.int32)
+            slots = np.array([p.slot for p in lref], np.int32)
+            r_ = ridx[..., lst]
+            sel = msel[:, None, None] & valid[..., lst] & (r_ < len(lref))
+            rc = np.clip(r_, 0, len(lref) - 1)
+            abi["refid"][..., lst][sel] = uids[rc][sel]
+            abi["refslot"][..., lst][sel] = slots[rc][sel]
+        if weighted_p or weighted_b:
+            abi["logwd"][msel] = [hdr.luma_log2_weight_denom,
+                                  hdr.chroma_log2_weight_denom]
+            for lst, pws in ((0, hdr.pred_weights_l0), (1, hdr.pred_weights_l1)):
+                if not pws:
+                    continue
+                w_tab = np.array(
+                    [[(pw.luma_weight, pw.luma_offset),
+                      (pw.chroma_weight[0], pw.chroma_offset[0]),
+                      (pw.chroma_weight[1], pw.chroma_offset[1])]
+                     for pw in pws], np.int32)        # [nref,3,2]
+                r_ = ridx[..., lst]
+                sel = msel[:, None, None] & valid[..., lst] & (r_ < len(pws))
+                rc = np.clip(r_, 0, len(pws) - 1)
+                abi["wp"][..., lst, :, :][sel] = w_tab[rc][sel]
+        elif implicit_b:
+            abi["logwd"][msel] = [5, 5]
+            wsel = msel[:, None, None]
+            abi["wp"][..., 0][wsel & np.ones_like(valid[..., 0], bool)] = 32
+            l0, l1 = lists
+            both = valid[..., 0] & valid[..., 1] & msel[:, None, None]
+            if both.any():
+                # per (r0, r1) pair weight table
+                wtab = np.zeros((len(l0), len(l1), 2), np.int32)
+                for i0, p0 in enumerate(l0):
+                    for i1, p1 in enumerate(l1):
+                        wtab[i0, i1] = implicit_weights(cur_poc, p0, p1)
+                r0 = np.clip(ridx[..., 0], 0, len(l0) - 1)
+                r1 = np.clip(ridx[..., 1], 0, len(l1) - 1)
+                w0 = wtab[r0, r1, 0]
+                w1 = wtab[r0, r1, 1]
+                for pl in range(3):
+                    abi["wp"][..., 0, pl, 0][both] = w0[both]
+                    abi["wp"][..., 1, pl, 0][both] = w1[both]
+    return abi

@@ -1,0 +1,719 @@
+// arrow_h264_tpu host entropy library (C++).
+//
+// Reference parity: the JM-lineage host entropy layers (SURVEY.md §2:
+// vlc.c, cabac.c, mb_read.c, mv_prediction.c) re-implemented as a single
+// slice-data parser that writes the MB-tensor ABI arrays directly
+// (SURVEY.md §7 step 5).  Semantics mirror arrow_h264_tpu/mb/parse.py and
+// mb/cabac_parse.py exactly; differential tests enforce bit-identical
+// outputs against the Python oracle parser.
+//
+// Build: g++ -O3 -shared -fPIC -o libh264entropy.so entropy.cpp
+
+#include <cstdint>
+#include <cstring>
+
+#include "tables_gen.h"
+
+namespace {
+
+constexpr int32_t ORDER_UNDECODED = 1 << 30;
+
+// MB categories (mb/types.py)
+enum {
+  CAT_I4 = 0, CAT_I8 = 1, CAT_I16 = 2, CAT_IPCM = 3,
+  CAT_P = 4, CAT_PSKIP = 5, CAT_B = 6, CAT_BSKIP = 7, CAT_BDIR16 = 8,
+};
+
+inline bool cat_is_intra(int c) { return c <= CAT_IPCM; }
+inline bool cat_is_intra_nxn(int c) { return c == CAT_I4 || c == CAT_I8; }
+
+// ---------------------------------------------------------------------------
+// Bit reader (bitstream/bits.py)
+// ---------------------------------------------------------------------------
+struct BitReader {
+  const uint8_t* d;
+  int64_t nbits;
+  int64_t pos = 0;
+  bool error = false;
+
+  BitReader(const uint8_t* data, int64_t nbytes, int64_t bitpos)
+      : d(data), nbits(nbytes * 8), pos(bitpos) {}
+
+  inline int u1() {
+    if (pos >= nbits) { error = true; return 0; }
+    int b = (d[pos >> 3] >> (7 - (pos & 7))) & 1;
+    pos++;
+    return b;
+  }
+  inline uint32_t u(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | u1();
+    return v;
+  }
+  inline uint32_t peek(int n) {  // zero-padded past end
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+      int64_t p = pos + i;
+      v = (v << 1) | ((p < nbits) ? ((d[p >> 3] >> (7 - (p & 7))) & 1) : 0);
+    }
+    return v;
+  }
+  inline uint32_t ue() {
+    int lz = 0;
+    while (u1() == 0) {
+      if (++lz > 32 || error) { error = true; return 0; }
+    }
+    if (lz == 0) return 0;
+    return (1u << lz) - 1 + u(lz);
+  }
+  inline int32_t se() {
+    uint32_t k = ue();
+    return (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
+  }
+  inline uint32_t te(int max_val) {
+    if (max_val == 1) return 1 - u1();
+    return ue();
+  }
+  inline void align() { pos = (pos + 7) & ~7LL; }
+  bool more_rbsp_data() const {
+    if (pos >= nbits) return false;
+    int64_t last = nbits / 8 - 1;
+    while (last >= 0 && d[last] == 0) last--;
+    if (last < 0) return false;
+    uint8_t b = d[last];
+    int low = 0;
+    while (!((b >> low) & 1)) low++;
+    int64_t stop = last * 8 + (7 - low);
+    return pos < stop;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// CABAC engine (entropy/cabac.py, spec 9.3)
+// ---------------------------------------------------------------------------
+struct Cabac {
+  BitReader* r;
+  int32_t range_, offset_;
+  uint8_t state[1024];
+  uint8_t mps[1024];
+
+  void start(BitReader* br) {
+    r = br;
+    r->align();
+    range_ = 510;
+    offset_ = (int32_t)r->u(9);
+  }
+  void init_ctx(int qp, const int8_t* tab) {
+    if (qp < 0) qp = 0;
+    if (qp > 51) qp = 51;
+    for (int i = 0; i < 1024; i++) {
+      int m = tab[2 * i], n = tab[2 * i + 1];
+      int pre = ((m * qp) >> 4) + n;
+      if (pre < 1) pre = 1;
+      if (pre > 126) pre = 126;
+      if (pre <= 63) { state[i] = (uint8_t)(63 - pre); mps[i] = 0; }
+      else { state[i] = (uint8_t)(pre - 64); mps[i] = 1; }
+    }
+  }
+  inline int decision(int ctx) {
+    int s = state[ctx];
+    int lps = kRangeLPS[s * 4 + ((range_ >> 6) & 3)];
+    range_ -= lps;
+    int bit;
+    if (offset_ >= range_) {
+      bit = 1 - mps[ctx];
+      offset_ -= range_;
+      range_ = lps;
+      if (s == 0) mps[ctx] = 1 - mps[ctx];
+      state[ctx] = kTransLPS[s];
+    } else {
+      bit = mps[ctx];
+      state[ctx] = kTransMPS[s];
+    }
+    while (range_ < 256) {
+      range_ <<= 1;
+      offset_ = (offset_ << 1) | r->u1();
+    }
+    return bit;
+  }
+  inline int bypass() {
+    offset_ = (offset_ << 1) | r->u1();
+    if (offset_ >= range_) { offset_ -= range_; return 1; }
+    return 0;
+  }
+  inline int terminate() {
+    range_ -= 2;
+    if (offset_ >= range_) return 1;
+    while (range_ < 256) {
+      range_ <<= 1;
+      offset_ = (offset_ << 1) | r->u1();
+    }
+    return 0;
+  }
+  void flush() {
+    range_ = 2;
+    while (range_ < 256) {
+      range_ <<= 1;
+      offset_ = (offset_ << 1) | r->u1();
+    }
+  }
+  void reinit() {
+    r->align();
+    range_ = 510;
+    offset_ = (int32_t)r->u(9);
+  }
+  inline int eg_bypass(int k) {
+    int v = 0;
+    while (bypass()) {
+      v += 1 << k;
+      k++;
+      if (k > 32) { r->error = true; return 0; }
+    }
+    while (k > 0) {
+      k--;
+      if (bypass()) v += 1 << k;
+    }
+    return v;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Parameter blocks passed from Python (layouts must match centropy.py)
+// ---------------------------------------------------------------------------
+struct PicBuf {
+  int32_t mb_w, mb_h;
+  int32_t transform_8x8_mode;   // PPS flag
+  int32_t constrained_intra;
+  int32_t direct_8x8_inference;
+  // ABI outputs (int32 unless noted)
+  int32_t* kind;
+  int32_t* cat;          // internal category per MB
+  int32_t* qp;
+  int32_t* tr8;
+  int32_t* nz;           // [n,16]
+  int32_t* slice_id_arr;
+  int32_t* disable_idc;
+  int32_t* alpha_off;
+  int32_t* beta_off;
+  int32_t* luma4;        // [n,16,16] raster blocks, raster coeffs
+  int32_t* luma8;        // [n,4,64]
+  int32_t* luma_dc;      // [n,16]
+  int32_t* chroma_dc;    // [n,2,4]
+  int32_t* chroma_ac;    // [n,2,4,16] (blk raster y2*2+x2, raster coeffs)
+  int32_t* i4_modes;     // [n,16] raster
+  int32_t* i8_modes;     // [n,4]
+  int32_t* i16_mode;
+  int32_t* chroma_mode;
+  int32_t* i4_avail;     // [n,16,4]
+  int32_t* i8_avail;     // [n,4,4]
+  int32_t* mb_avail;     // [n,3]
+  int32_t* pcm;          // [n,384]
+  int32_t* mv;           // [n,4,4,2,2]
+  int32_t* refidx;       // [n,4,4,2]
+  int32_t* cbp;          // [n,2]
+  // state grids
+  int32_t* tc_luma;      // [h4,w4]
+  int32_t* tc_cb;        // [h2,w2]
+  int32_t* tc_cr;
+  int32_t* mode_map;     // [h4,w4]
+  int32_t* slice_map;    // [mbh,mbw], init -1
+  int32_t* mv_grid;      // [2,h4,w4,2]
+  int32_t* ref_grid;     // [2,h4,w4], init -1
+  int32_t* order_grid;   // [h4,w4], init ORDER_UNDECODED
+  int32_t* direct_grid;  // [h4,w4]
+  int32_t* cbf_luma;     // [h4,w4]
+  int32_t* cbf_luma_dc;  // [mbh,mbw]
+  int32_t* cbf_cdc;      // [2,mbh,mbw]
+  int32_t* cbf_cac;      // [2,h2,w2]
+  int32_t* mvd_grid;     // [2,h4,w4,2]
+};
+
+struct SliceParams {
+  int32_t slice_type;    // 0 P, 1 B, 2 I
+  int32_t first_mb;
+  int32_t slice_qp;
+  int32_t cabac;
+  int32_t cabac_init_idc;
+  int32_t num_ref_l0, num_ref_l1;
+  int32_t direct_spatial;
+  int32_t slice_id;
+  int32_t cur_poc;
+  int32_t disable_deblock_idc, alpha_off, beta_off;
+  // colocated picture info (list1[0]) for B direct
+  const int32_t* col_mv;      // [h4,w4,2] or null
+  const int8_t* col_refidx;   // [h4,w4]
+  const int32_t* col_ref_uid; // [h4,w4]
+  int32_t col_longterm;
+  int32_t col_poc;
+  // extended ref lists
+  const int32_t* l0_poc; const uint8_t* l0_lt; const int32_t* l0_uid;
+  int32_t l0_len;
+  const int32_t* l1_poc; const uint8_t* l1_lt; const int32_t* l1_uid;
+  int32_t l1_len;
+};
+
+// ---------------------------------------------------------------------------
+// Slice parser
+// ---------------------------------------------------------------------------
+struct Parser {
+  PicBuf* pb;
+  SliceParams* sp;
+  BitReader r;
+  Cabac cab;
+  int mb_w, mb_h, w4, h4, w2, h2, n;
+  int prev_qp_delta = 0;
+
+  Parser(PicBuf* pb_, SliceParams* sp_, const uint8_t* data, int64_t nbytes,
+         int64_t bitpos)
+      : pb(pb_), sp(sp_), r(data, nbytes, bitpos) {
+    mb_w = pb->mb_w; mb_h = pb->mb_h;
+    w4 = mb_w * 4; h4 = mb_h * 4;
+    w2 = mb_w * 2; h2 = mb_h * 2;
+    n = mb_w * mb_h;
+  }
+
+  // ---- grid helpers ----
+  inline int32_t& tc_l(int by, int bx) { return pb->tc_luma[by * w4 + bx]; }
+  inline int32_t& mode_at(int by, int bx) { return pb->mode_map[by * w4 + bx]; }
+  inline int32_t& order_at(int by, int bx) { return pb->order_grid[by * w4 + bx]; }
+  inline int32_t smap(int my, int mx) { return pb->slice_map[my * mb_w + mx]; }
+  inline int cat_at(int my, int mx) { return pb->cat[my * mb_w + mx]; }
+
+  inline bool mb_avail(int mx, int my) {
+    if (mx < 0 || my < 0 || mx >= mb_w || my >= mb_h) return false;
+    return smap(my, mx) == sp->slice_id;
+  }
+
+  // ---- nC derivation (9.2.1) ----
+  int nc_from_luma(int bx, int by) {  // -1 = unavailable
+    if (bx < 0 || by < 0) return -1;
+    int mx = bx / 4, my = by / 4;
+    if (!mb_avail(mx, my)) return -1;
+    if (cat_at(my, mx) == CAT_IPCM) return 16;
+    return pb->tc_luma[by * w4 + bx];
+  }
+  int luma_nc(int bx, int by) {
+    int na = nc_from_luma(bx - 1, by);
+    int nb = nc_from_luma(bx, by - 1);
+    if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
+    if (na >= 0) return na;
+    if (nb >= 0) return nb;
+    return 0;
+  }
+  int nc_from_chroma(int pl, int bx, int by) {
+    if (bx < 0 || by < 0) return -1;
+    int mx = bx / 2, my = by / 2;
+    if (!mb_avail(mx, my)) return -1;
+    if (cat_at(my, mx) == CAT_IPCM) return 16;
+    const int32_t* m = pl == 0 ? pb->tc_cb : pb->tc_cr;
+    return m[by * w2 + bx];
+  }
+  int chroma_nc(int pl, int bx, int by) {
+    int na = nc_from_chroma(pl, bx - 1, by);
+    int nb = nc_from_chroma(pl, bx, by - 1);
+    if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
+    if (na >= 0) return na;
+    if (nb >= 0) return nb;
+    return 0;
+  }
+
+  // ---- CAVLC residual (entropy/cavlc.py) ----
+  // levels out in SCAN order; returns total_coeff
+  int cavlc_block(int nc, int max_coeff, int32_t* levels) {
+    for (int i = 0; i < max_coeff; i++) levels[i] = 0;
+    int total_coeff, trailing_ones;
+    if (nc == -1) {
+      uint32_t p16 = r.peek(16);
+      int len = kCoeffTokLen3[p16];
+      int val = kCoeffTokVal3[p16];
+      if (len == 0) { r.error = true; return 0; }
+      r.pos += len;
+      total_coeff = val >> 2; trailing_ones = val & 3;
+    } else if (nc < 8) {
+      int cls = nc < 2 ? 0 : (nc < 4 ? 1 : 2);
+      uint32_t p16 = r.peek(16);
+      const int16_t* tv = cls == 0 ? kCoeffTokVal0 : (cls == 1 ? kCoeffTokVal1 : kCoeffTokVal2);
+      const int8_t* tl = cls == 0 ? kCoeffTokLen0 : (cls == 1 ? kCoeffTokLen1 : kCoeffTokLen2);
+      int len = tl[p16];
+      if (len == 0) { r.error = true; return 0; }
+      int val = tv[p16];
+      r.pos += len;
+      total_coeff = val >> 2; trailing_ones = val & 3;
+    } else {
+      uint32_t v = r.u(6);
+      if (v == 3) { total_coeff = 0; trailing_ones = 0; }
+      else { total_coeff = (v >> 2) + 1; trailing_ones = v & 3; }
+    }
+    if (total_coeff == 0) return 0;
+
+    int32_t lv[64];
+    for (int i = 0; i < trailing_ones; i++) lv[i] = r.u1() ? -1 : 1;
+    int suffix_length = (total_coeff > 10 && trailing_ones < 3) ? 1 : 0;
+    for (int i = trailing_ones; i < total_coeff; i++) {
+      int level_prefix = 0;
+      while (r.u1() == 0) {
+        if (++level_prefix > 32) { r.error = true; return 0; }
+      }
+      int suffix_size = suffix_length;
+      if (level_prefix == 14 && suffix_length == 0) suffix_size = 4;
+      else if (level_prefix >= 15) suffix_size = level_prefix - 3;
+      int level_code = ((level_prefix < 15 ? level_prefix : 15) << suffix_length);
+      if (suffix_size) level_code += (int)r.u(suffix_size);
+      if (level_prefix >= 15 && suffix_length == 0) level_code += 15;
+      if (level_prefix >= 16) level_code += (1 << (level_prefix - 3)) - 4096;
+      if (i == trailing_ones && trailing_ones < 3) level_code += 2;
+      lv[i] = (level_code % 2 == 0) ? ((level_code + 2) >> 1)
+                                    : -((level_code + 1) >> 1);
+      if (suffix_length == 0) suffix_length = 1;
+      int a = lv[i] < 0 ? -lv[i] : lv[i];
+      if (a > (3 << (suffix_length - 1)) && suffix_length < 6) suffix_length++;
+    }
+
+    int total_zeros = 0;
+    if (total_coeff < max_coeff) {
+      if (max_coeff == 4) {
+        uint32_t p = r.peek(3);
+        int len = kTzcLen[total_coeff][p];
+        if (len == 0) { r.error = true; return 0; }
+        total_zeros = kTzcVal[total_coeff][p];
+        r.pos += len;
+      } else {
+        uint32_t p = r.peek(9);
+        int len = kTz4Len[total_coeff][p];
+        if (len == 0) { r.error = true; return 0; }
+        total_zeros = kTz4Val[total_coeff][p];
+        r.pos += len;
+      }
+    }
+
+    int runs[64];
+    int zeros_left = total_zeros;
+    for (int i = 0; i < total_coeff - 1; i++) {
+      runs[i] = 0;
+      if (zeros_left > 0) {
+        int zl = zeros_left < 7 ? zeros_left : 7;
+        uint32_t p = r.peek(11);
+        int len = kRunLen[zl][p];
+        if (len == 0) { r.error = true; return 0; }
+        runs[i] = kRunVal[zl][p];
+        r.pos += len;
+      }
+      zeros_left -= runs[i];
+    }
+    runs[total_coeff - 1] = zeros_left;
+
+    int posi = total_coeff + total_zeros - 1;
+    for (int i = 0; i < total_coeff; i++) {
+      levels[posi] = lv[i];
+      posi -= runs[i] + 1;
+    }
+    return total_coeff;
+  }
+
+  // ---- CABAC neighbor ctx helpers (mb/cabac_parse.py) ----
+  inline int nb_cat(int mx, int my) {  // -1 = unavailable
+    if (!mb_avail(mx, my)) return -1;
+    return cat_at(my, mx);
+  }
+  int skip_inc(int mx, int my) {
+    int inc = 0;
+    int a = nb_cat(mx - 1, my), b = nb_cat(mx, my - 1);
+    if (a >= 0 && a != CAT_PSKIP && a != CAT_BSKIP) inc++;
+    if (b >= 0 && b != CAT_PSKIP && b != CAT_BSKIP) inc++;
+    return inc;
+  }
+  int imbtype_inc(int mx, int my) {
+    int inc = 0;
+    int a = nb_cat(mx - 1, my), b = nb_cat(mx, my - 1);
+    if (a >= 0 && a != CAT_I4 && a != CAT_I8) inc++;
+    if (b >= 0 && b != CAT_I4 && b != CAT_I8) inc++;
+    return inc;
+  }
+  int bmbtype_inc(int mx, int my) {
+    int inc = 0;
+    int a = nb_cat(mx - 1, my), b = nb_cat(mx, my - 1);
+    if (a >= 0 && a != CAT_BSKIP && a != CAT_BDIR16) inc++;
+    if (b >= 0 && b != CAT_BSKIP && b != CAT_BDIR16) inc++;
+    return inc;
+  }
+  int tr8_inc(int mx, int my) {
+    int inc = 0;
+    if (mb_avail(mx - 1, my) && pb->tr8[my * mb_w + mx - 1]) inc++;
+    if (mb_avail(mx, my - 1) && pb->tr8[(my - 1) * mb_w + mx]) inc++;
+    return inc;
+  }
+  int chroma_mode_inc(int mx, int my) {
+    int inc = 0;
+    for (int k = 0; k < 2; k++) {
+      int nx = k == 0 ? mx - 1 : mx, ny = k == 0 ? my : my - 1;
+      int c = nb_cat(nx, ny);
+      if (c >= 0 && cat_is_intra(c) && c != CAT_IPCM &&
+          pb->chroma_mode[ny * mb_w + nx] != 0)
+        inc++;
+    }
+    return inc;
+  }
+
+  int cab_qp_delta() {
+    if (!cab.decision(60 + (prev_qp_delta ? 1 : 0))) {
+      prev_qp_delta = 0;
+      return 0;
+    }
+    int k = 1;
+    while (cab.decision(k == 1 ? 62 : 63)) {
+      k++;
+      if (k > 2048) { r.error = true; return 0; }
+    }
+    int delta = (k & 1) ? ((k + 1) >> 1) : -(k >> 1);
+    prev_qp_delta = delta;
+    return delta;
+  }
+  int cab_chroma_mode(int mx, int my) {
+    if (!cab.decision(64 + chroma_mode_inc(mx, my))) return 0;
+    int k = 0;
+    while (k < 2 && cab.decision(67)) k++;
+    return 1 + k;
+  }
+  int cab_intra4x4_mode(int pred) {
+    if (cab.decision(68)) return pred;
+    int rem = cab.decision(69);
+    rem |= cab.decision(69) << 1;
+    rem |= cab.decision(69) << 2;
+    return rem < pred ? rem : rem + 1;
+  }
+  void cab_cbp(int mx, int my, int* cbp_l_out, int* cbp_c_out) {
+    int ca = nb_cat(mx - 1, my), cb_ = nb_cat(mx, my - 1);
+    auto l_bit = [&](int c, int nx, int ny, int b8) -> int {
+      if (c < 0) return 1;
+      if (c == CAT_IPCM) return 1;
+      if (c == CAT_PSKIP || c == CAT_BSKIP) return 0;
+      return (pb->cbp[(ny * mb_w + nx) * 2] >> b8) & 1;
+    };
+    int cbp_l = 0;
+    for (int b8 = 0; b8 < 4; b8++) {
+      int x8 = b8 & 1, y8 = b8 >> 1;
+      int a = x8 == 0 ? l_bit(ca, mx - 1, my, y8 * 2 + 1)
+                      : ((cbp_l >> (y8 * 2)) & 1);
+      int b = y8 == 0 ? l_bit(cb_, mx, my - 1, 2 + x8) : ((cbp_l >> x8) & 1);
+      int ctx = 73 + (1 - a) + 2 * (1 - b);
+      if (cab.decision(ctx)) cbp_l |= 1 << b8;
+    }
+    auto c_val = [&](int c, int nx, int ny) -> int {
+      if (c < 0) return 0;
+      if (c == CAT_IPCM) return 2;
+      if (c == CAT_PSKIP || c == CAT_BSKIP) return 0;
+      return pb->cbp[(ny * mb_w + nx) * 2 + 1];
+    };
+    int va = c_val(ca, mx - 1, my), vb = c_val(cb_, mx, my - 1);
+    int cbp_c = 0;
+    if (cab.decision(77 + (va ? 1 : 0) + 2 * (vb ? 1 : 0)))
+      cbp_c = cab.decision(81 + (va == 2 ? 1 : 0) + 2 * (vb == 2 ? 1 : 0)) ? 2 : 1;
+    *cbp_l_out = cbp_l;
+    *cbp_c_out = cbp_c;
+  }
+
+  // ---- motion neighbor access (mb/parse.py) ----
+  struct NB { bool av; int ref; int mvx, mvy; };
+  NB mv_neighbor(int lst, int px, int py, int cur_key) {
+    NB o{false, -1, 0, 0};
+    if (px < 0 || py < 0 || px >= mb_w * 16 || py >= mb_h * 16) return o;
+    int bx = px >> 2, by = py >> 2;
+    if (!(order_at(by, bx) < cur_key)) return o;
+    if (smap(by / 4, bx / 4) != sp->slice_id) return o;
+    o.av = true;
+    int ref = pb->ref_grid[lst * h4 * w4 + by * w4 + bx];
+    if (ref < 0) return o;  // intra / unused list: av, ref -1, mv 0
+    o.ref = ref;
+    const int32_t* mg = pb->mv_grid + ((lst * h4 + by) * w4 + bx) * 2;
+    o.mvx = mg[0]; o.mvy = mg[1];
+    return o;
+  }
+
+  static inline int med3(int a, int b, int c) {
+    if (a > b) { int t = a; a = b; b = t; }
+    if (b > c) { b = c; }
+    return a > b ? a : b;
+  }
+
+  void predict_mv(int lst, int ref_idx, int x0, int y0, int w, int h,
+                  int part_kind, int cur_key, int* outx, int* outy) {
+    NB A = mv_neighbor(lst, x0 - 1, y0, cur_key);
+    NB B = mv_neighbor(lst, x0, y0 - 1, cur_key);
+    NB C = mv_neighbor(lst, x0 + w, y0 - 1, cur_key);
+    if (!C.av) C = mv_neighbor(lst, x0 - 1, y0 - 1, cur_key);
+    if (part_kind == 1 && B.ref == ref_idx) { *outx = B.mvx; *outy = B.mvy; return; }
+    if (part_kind == 2 && A.ref == ref_idx) { *outx = A.mvx; *outy = A.mvy; return; }
+    if (part_kind == 3 && A.ref == ref_idx) { *outx = A.mvx; *outy = A.mvy; return; }
+    if (part_kind == 4 && C.ref == ref_idx) { *outx = C.mvx; *outy = C.mvy; return; }
+    if (!B.av && !C.av && A.av) { *outx = A.mvx; *outy = A.mvy; return; }
+    int hits = (A.ref == ref_idx) + (B.ref == ref_idx) + (C.ref == ref_idx);
+    if (hits == 1) {
+      if (A.ref == ref_idx) { *outx = A.mvx; *outy = A.mvy; return; }
+      if (B.ref == ref_idx) { *outx = B.mvx; *outy = B.mvy; return; }
+      *outx = C.mvx; *outy = C.mvy; return;
+    }
+    *outx = med3(A.mvx, B.mvx, C.mvx);
+    *outy = med3(A.mvy, B.mvy, C.mvy);
+  }
+
+  void skip_mv(int x0, int y0, int* outx, int* outy) {
+    NB A = mv_neighbor(0, x0 - 1, y0, 0);
+    NB B = mv_neighbor(0, x0, y0 - 1, 0);
+    if (!A.av || !B.av || (A.ref == 0 && A.mvx == 0 && A.mvy == 0) ||
+        (B.ref == 0 && B.mvx == 0 && B.mvy == 0)) {
+      *outx = 0; *outy = 0; return;
+    }
+    predict_mv(0, 0, x0, y0, 16, 16, 0, 0, outx, outy);
+  }
+
+  void set_part(int addr, int lst, int x0, int y0, int w, int h, int ref,
+                int mvx, int mvy) {
+    int bx0 = x0 >> 2, by0 = y0 >> 2;
+    for (int by = by0; by < by0 + (h >> 2); by++)
+      for (int bx = bx0; bx < bx0 + (w >> 2); bx++) {
+        pb->ref_grid[lst * h4 * w4 + by * w4 + bx] = ref;
+        int32_t* mg = pb->mv_grid + ((lst * h4 + by) * w4 + bx) * 2;
+        mg[0] = mvx; mg[1] = mvy;
+        // MB record arrays
+        int my = by / 4, mx = bx / 4;
+        int ly = by & 3, lx = bx & 3;
+        int32_t* mvp = pb->mv + ((((int64_t)(my * mb_w + mx) * 4 + ly) * 4 + lx) * 2 + lst) * 2;
+        mvp[0] = mvx; mvp[1] = mvy;
+        pb->refidx[(((int64_t)(my * mb_w + mx) * 4 + ly) * 4 + lx) * 2 + lst] = ref;
+        (void)addr;
+      }
+  }
+
+  inline void assign_key(int x0, int y0, int w, int h, int key) {
+    int bx0 = x0 >> 2, by0 = y0 >> 2;
+    for (int by = by0; by < by0 + (h >> 2); by++)
+      for (int bx = bx0; bx < bx0 + (w >> 2); bx++) order_at(by, bx) = key;
+  }
+  inline void finish_mb_keys(int mx, int my) {
+    for (int by = my * 4; by < my * 4 + 4; by++)
+      for (int bx = mx * 4; bx < mx * 4 + 4; bx++) order_at(by, bx) = -1;
+  }
+  static void sub_part_xy(int sx0, int sy0, int sw, int sh, int s, int* px,
+                          int* py) {
+    if (sw == 8 && sh == 8) { *px = sx0; *py = sy0; }
+    else if (sw == 8) { *px = sx0; *py = sy0 + s * 4; }
+    else if (sh == 8) { *px = sx0 + s * 4; *py = sy0; }
+    else { *px = sx0 + (s % 2) * 4; *py = sy0 + (s / 2) * 4; }
+  }
+
+  // ---- direct modes (mb/parse.py fill_direct) ----
+  static inline int min_positive(int a, int b) {
+    if (a >= 0 && b >= 0) return a < b ? a : b;
+    return a > b ? a : b;
+  }
+
+  void direct_spatial_ctx(int mx, int my, int* ref0o, int* ref1o,
+                          int* m0x, int* m0y, int* m1x, int* m1y,
+                          int* zero_pred) {
+    int x0 = mx * 16, y0 = my * 16;
+    int refs[2];
+    for (int lst = 0; lst < 2; lst++) {
+      NB A = mv_neighbor(lst, x0 - 1, y0, 0);
+      NB B = mv_neighbor(lst, x0, y0 - 1, 0);
+      NB C = mv_neighbor(lst, x0 + 16, y0 - 1, 0);
+      if (!C.av) C = mv_neighbor(lst, x0 - 1, y0 - 1, 0);
+      refs[lst] = min_positive(min_positive(A.ref, B.ref), C.ref);
+    }
+    *zero_pred = (refs[0] < 0 && refs[1] < 0) ? 1 : 0;
+    if (*zero_pred) { refs[0] = 0; refs[1] = 0; }
+    if (refs[0] >= 0) predict_mv(0, refs[0], x0, y0, 16, 16, 0, 0, m0x, m0y);
+    else { *m0x = 0; *m0y = 0; }
+    if (refs[1] >= 0) predict_mv(1, refs[1], x0, y0, 16, 16, 0, 0, m1x, m1y);
+    else { *m1x = 0; *m1y = 0; }
+    *ref0o = refs[0]; *ref1o = refs[1];
+  }
+
+  void col_block(int mx, int my, int y4, int x4, int* cmx, int* cmy,
+                 int* crefidx, int* cuid) {
+    if (pb->direct_8x8_inference) {
+      y4 = 3 * (y4 / 2);
+      x4 = 3 * (x4 / 2);
+    }
+    int by = my * 4 + y4, bx = mx * 4 + x4;
+    if (!sp->col_mv) { *cmx = 0; *cmy = 0; *crefidx = -1; *cuid = -1; return; }
+    *cmx = sp->col_mv[(by * w4 + bx) * 2];
+    *cmy = sp->col_mv[(by * w4 + bx) * 2 + 1];
+    *crefidx = sp->col_refidx[by * w4 + bx];
+    *cuid = sp->col_ref_uid[by * w4 + bx];
+  }
+
+  void fill_direct(int addr, int mx, int my, const int* cells, int ncells) {
+    static const int all_cells[32] = {0, 0, 0, 1, 0, 2, 0, 3, 1, 0, 1, 1, 1, 2,
+                                      1, 3, 2, 0, 2, 1, 2, 2, 2, 3, 3, 0, 3, 1,
+                                      3, 2, 3, 3};
+    if (!cells) { cells = all_cells; ncells = 16; }
+    for (int c = 0; c < ncells; c++)
+      pb->direct_grid[(my * 4 + cells[2 * c]) * w4 + mx * 4 + cells[2 * c + 1]] = 1;
+    if (sp->direct_spatial) {
+      int ref0, ref1, m0x, m0y, m1x, m1y, zp;
+      direct_spatial_ctx(mx, my, &ref0, &ref1, &m0x, &m0y, &m1x, &m1y, &zp);
+      for (int c = 0; c < ncells; c++) {
+        int y4 = cells[2 * c], x4 = cells[2 * c + 1];
+        int cmx, cmy, cref, cuid;
+        col_block(mx, my, y4, x4, &cmx, &cmy, &cref, &cuid);
+        bool col_zero = !sp->col_longterm && cref == 0 &&
+                        cmx >= -1 && cmx <= 1 && cmy >= -1 && cmy <= 1;
+        for (int lst = 0; lst < 2; lst++) {
+          int ref = lst == 0 ? ref0 : ref1;
+          int vx, vy;
+          if (ref < 0) { vx = 0; vy = 0; }
+          else if (zp || (ref == 0 && col_zero)) { vx = 0; vy = 0; }
+          else if (lst == 0) { vx = m0x; vy = m0y; }
+          else { vx = m1x; vy = m1y; }
+          set_part(addr, lst, mx * 16 + 4 * x4, my * 16 + 4 * y4, 4, 4, ref,
+                   vx, vy);
+        }
+      }
+    } else {
+      for (int c = 0; c < ncells; c++) {
+        int y4 = cells[2 * c], x4 = cells[2 * c + 1];
+        int cmx, cmy, cref, cuid;
+        col_block(mx, my, y4, x4, &cmx, &cmy, &cref, &cuid);
+        int ref0 = 0;
+        if (cref < 0) { cmx = 0; cmy = 0; }
+        else {
+          ref0 = 0;
+          for (int i = 0; i < sp->l0_len; i++)
+            if (sp->l0_uid[i] == cuid) { ref0 = i; break; }
+        }
+        int px = mx * 16 + 4 * x4, py = my * 16 + 4 * y4;
+        int m0x, m0y, m1x, m1y;
+        if (sp->l0_lt[ref0] || sp->col_poc == sp->l0_poc[ref0]) {
+          m0x = cmx; m0y = cmy; m1x = 0; m1y = 0;
+        } else {
+          int tb = sp->cur_poc - sp->l0_poc[ref0];
+          if (tb < -128) tb = -128; if (tb > 127) tb = 127;
+          int td = sp->col_poc - sp->l0_poc[ref0];
+          if (td < -128) td = -128; if (td > 127) td = 127;
+          int tx = td > 0 ? (16384 + (td >> 1)) / td
+                          : -((16384 + ((-td) >> 1)) / (-td));
+          // match python: tx = (16384 + (abs(td) >> 1)) // td  (floor div)
+          {
+            long long num = 16384 + ((td < 0 ? -td : td) >> 1);
+            long long q = num / td;
+            if ((num % td != 0) && ((num < 0) != (td < 0))) q -= 1;
+            tx = (int)q;
+          }
+          long long dsfl = ((long long)tb * tx + 32) >> 6;
+          if (dsfl < -1024) dsfl = -1024; if (dsfl > 1023) dsfl = 1023;
+          int dsf = (int)dsfl;
+          m0x = (int)(((long long)dsf * cmx + 128) >> 8);
+          m0y = (int)(((long long)dsf * cmy + 128) >> 8);
+          m1x = m0x - cmx; m1y = m0y - cmy;
+        }
+        set_part(addr, 0, px, py, 4, 4, ref0, m0x, m0y);
+        set_part(addr, 1, px, py, 4, 4, 0, m1x, m1y);
+      }
+    }
+  }
+};
+
+}  // namespace
+
+// continued in entropy_mb.inc (macroblock layer + slice loop)
+#include "entropy_mb.inc"
