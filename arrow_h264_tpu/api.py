@@ -21,6 +21,7 @@ import numpy as np
 from .bitstream import nal
 from .bitstream.bits import BitReader
 from .bitstream.params import PPS, SPS, parse_pps, parse_sps
+from .bitstream.sei import SEIMessage, parse_sei_rbsp
 from .bitstream.slicehdr import parse_slice_header
 from .dpb import DPB
 from .host import centropy
@@ -63,6 +64,7 @@ class Decoder:
         self._pipelines: dict[tuple, DevicePipeline] = {}
         self.dpb: DPB | None = None
         self._dpb_sps_id: int | None = None
+        self.sei_messages: list[SEIMessage] = []
         if entropy == "cpp":
             try:
                 centropy.load_lib()
@@ -88,6 +90,8 @@ class Decoder:
             elif u.nal_unit_type == nal.NAL_PPS:
                 p = parse_pps(u.rbsp, self.sps_map)
                 self.pps_map[p.pic_parameter_set_id] = p
+            elif u.nal_unit_type == nal.NAL_SEI:
+                self.sei_messages.extend(parse_sei_rbsp(u.rbsp))
             elif u.is_slice:
                 r2 = BitReader(u.rbsp)
                 r2.ue()

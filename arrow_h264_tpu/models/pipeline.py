@@ -17,12 +17,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..bitstream.params import PPS, SPS
 from ..ops.abi import KIND_P, FrameABI
-from ..ops.deblock import deblock_planes
-from ..ops.inter import PAD, inter_predict
+from ..ops.deblock import deblock_planes, deblock_tables
+from ..ops.inter import PAD, halfpel_planes, inter_predict
 from ..ops.intra import intra_reconstruct
+from ..ops.pallas.deblock_kernel import deblock_pallas
+from ..ops.pallas.intra_kernel import intra_reconstruct_pallas
 from ..ops.transforms import _mb_mask_to_plane, make_ws_consts, residual_planes
+
+
+def _use_pallas() -> bool:
+    env = os.environ.get("ARROW_H264_PALLAS")
+    if env is not None:
+        return env == "1"
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu",)
 
 ABI_DEVICE_KEYS = (
     "kind", "qp", "luma4", "luma8", "luma_dc", "chroma_dc", "chroma_ac",
@@ -33,8 +45,14 @@ ABI_DEVICE_KEYS = (
 
 
 def decode_frame_fn(abi: dict, dpb_y, dpb_cb, dpb_cr, *,
-                    mb_w: int, mb_h: int, ws4, ws8, cqp_off):
-    """Pure function: ABI dict + device DPB -> (y, cb, cr) uint8 planes."""
+                    mb_w: int, mb_h: int, ws4, ws8, cqp_off,
+                    pallas: bool | None = None):
+    """Pure function: ABI dict + device DPB -> (y, cb, cr) uint8 planes.
+
+    dpb_y [S, 4, Hp, Wp]: (G, b, h, j) half-pel planes per slot.
+    pallas=None resolves by backend (TPU -> Pallas kernels)."""
+    if pallas is None:
+        pallas = _use_pallas()
     res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8, cqp_off)
     pred_y, pred_cb, pred_cr = inter_predict(abi, dpb_y, dpb_cb, dpb_cr,
                                              mb_w, mb_h)
@@ -43,18 +61,29 @@ def decode_frame_fn(abi: dict, dpb_y, dpb_cb, dpb_cr, *,
     init_y = jnp.where(inter_y, jnp.clip(pred_y + res_y, 0, 255), 0)
     init_cb = jnp.where(inter_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
     init_cr = jnp.where(inter_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
-    y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
-                                  init_y, init_cb, init_cr)
-    y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
+    if pallas:
+        y, cb, cr = intra_reconstruct_pallas(
+            abi, res_y, res_cb, res_cr, init_y, init_cb, init_cr, mb_w, mb_h)
+        tables = deblock_tables(abi, mb_w, mb_h, cqp_off)
+        y, cb, cr = deblock_pallas(y, cb, cr, tables, mb_w, mb_h)
+    else:
+        y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
+                                      init_y, init_cb, init_cr)
+        y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
 def store_ref_fn(dpb_y, dpb_cb, dpb_cr, slot, y, cb, cr):
-    """Pad (edge-replicate) a decoded frame and write it into DPB slot."""
-    yp = jnp.pad(y, PAD, mode="edge")[None]
+    """Compute half-pel planes, pad, and write into the DPB slot.
+
+    Amortizes the 6-tap interpolation once per stored reference frame
+    (SURVEY.md §7: MC gathers never touch the host OR recompute filters).
+    """
+    g, b, h, j = halfpel_planes(y)
+    y4 = jnp.stack([g, b, h, j])[None]                  # [1, 4, Hp, Wp]
     cbp = jnp.pad(cb, PAD // 2, mode="edge")[None]
     crp = jnp.pad(cr, PAD // 2, mode="edge")[None]
-    return (jax.lax.dynamic_update_slice(dpb_y, yp, (slot, 0, 0)),
+    return (jax.lax.dynamic_update_slice(dpb_y, y4, (slot, 0, 0, 0)),
             jax.lax.dynamic_update_slice(dpb_cb, cbp, (slot, 0, 0)),
             jax.lax.dynamic_update_slice(dpb_cr, crp, (slot, 0, 0)))
 
@@ -78,7 +107,7 @@ class DevicePipeline:
         ))
         self._store = jax.jit(store_ref_fn, donate_argnums=(0, 1, 2))
         self.n_slots = max(2, min(sps.max_num_ref_frames, 16) + 1)
-        self.dpb_y = jnp.zeros((self.n_slots, H + 2 * PAD, W + 2 * PAD),
+        self.dpb_y = jnp.zeros((self.n_slots, 4, H + 2 * PAD, W + 2 * PAD),
                                jnp.uint8)
         self.dpb_cb = jnp.zeros((self.n_slots, H // 2 + PAD, W // 2 + PAD),
                                 jnp.uint8)

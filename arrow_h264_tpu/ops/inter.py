@@ -1,15 +1,16 @@
-"""Device inter prediction: batched quarter-pel MC over the HBM DPB (JAX).
+"""Device inter prediction: quarter-pel MC over precomputed half-pel planes.
 
 Reference parity: JM-lineage `get_block.c` quarter-pel interpolation +
-`mc_prediction.c` weighted prediction (SURVEY.md §2), re-expressed as ONE
-batched gather+filter over every 4x4 block of the frame — inter blocks have
-no intra-frame dependencies, so this is a single dependency-free kernel
-(SURVEY.md §2 "wavefront-free batched-MB scheduling" for the inter path).
+`mc_prediction.c` weighted prediction (SURVEY.md §2), restructured for TPU:
+instead of per-block 6-tap windows (gather-heavy), each reference picture's
+half-pel planes (b = horizontal, h = vertical, j = diagonal) are computed
+ONCE when the picture is stored into the device DPB — dense separable
+filtering that vectorizes perfectly — and per-block MC reduces to at most
+two single-pixel gathers plus an average (the spec's quarter-pel position
+table, 8.4.2.2.1).
 
-The DPB lives on device as [S, Hp, Wp] uint8 planes, padded by PAD with
-edge replication; MC windows are gathered with base-clamp, which is exactly
-equivalent to the spec's per-sample edge extension because PAD exceeds the
-window size (see oracle.inter for the scalar reference).
+The planes are edge-padded by PAD with clamp semantics, which is exactly
+the spec's unrestricted-MV edge extension (see oracle.inter).
 """
 
 from __future__ import annotations
@@ -18,103 +19,117 @@ import jax
 import jax.numpy as jnp
 
 PAD = 16            # luma padding; chroma uses PAD // 2
-_WIN = 10           # 4x4 block -> (4+6) x (4+6) tap window
 
 
-def pad_plane(p):
-    """[H, W] -> [H + 2*PAD(/2), W + ...] edge-replicated, same dtype."""
-    pad = PAD if p.ndim == 2 else PAD
-    return jnp.pad(p, pad, mode="edge")
-
-
-def pad_chroma(p):
-    return jnp.pad(p, PAD // 2, mode="edge")
-
-
-def _tap6(v, axis):
+def _tap6_1d(v, axis):
+    """6-tap (1,-5,20,20,-5,1) along axis; output length = len - 5."""
     taps = (1, -5, 20, 20, -5, 1)
     n = v.shape[axis]
     sl = lambda k: jax.lax.slice_in_dim(v, k, n - 5 + k, axis=axis)
     return sum(c * sl(k) for k, c in enumerate(taps))
 
 
-def luma_mc_blocks(dpb_y, slot, bx, by, mvx, mvy):
-    """Quarter-pel MC for N 4x4 luma blocks.
+def halfpel_planes(y_plane):
+    """[H, W] uint8 (unpadded) -> (G, b, h, j) [Hp, Wp] uint8 padded planes.
 
-    dpb_y [S, Hp, Wp] uint8 (padded PAD); slot/bx/by/mvx/mvy [N] int32,
-    (bx, by) = unpadded block origin.  Returns [N, 4, 4] int32.
+    G is the padded integer plane; b/h/j are the spec 8.4.2.2.1 half-pels
+    aligned so that plane[y + PAD, x + PAD] is the half-pel sample at
+    integer position (x, y) (i.e. b at (x+0.5, y), h at (x, y+0.5),
+    j at (x+0.5, y+0.5)).
     """
-    Hp, Wp = dpb_y.shape[1], dpb_y.shape[2]
-    xi = bx + (mvx >> 2) + PAD - 2
-    yi = by + (mvy >> 2) + PAD - 2
+    yi = jnp.pad(y_plane, PAD + 3, mode="edge").astype(jnp.int32)
+    # b: horizontal 6-tap at (x+0.5): taps over x-2..x+3
+    b1 = _tap6_1d(yi, 1)                    # [Hp+6, Wp+1]
+    b = jnp.clip((b1 + 16) >> 5, 0, 255)[3:-3, 1:]
+    # h: vertical 6-tap
+    h1 = _tap6_1d(yi, 0)                    # [Hp+1, Wp+6]
+    h = jnp.clip((h1 + 16) >> 5, 0, 255)[1:, 3:-3]
+    # j: vertical 6-tap of b1 intermediates
+    j1 = _tap6_1d(b1, 0)                    # [Hp+1, Wp+1]
+    j = jnp.clip((j1 + 512) >> 10, 0, 255)[1:, 1:]
+    G = yi[3:-3, 3:-3]
+    return (G.astype(jnp.uint8), b.astype(jnp.uint8),
+            h.astype(jnp.uint8), j.astype(jnp.uint8))
+
+
+def pad_chroma(p):
+    return jnp.pad(p, PAD // 2, mode="edge")
+
+
+def luma_mc_gather(dpb_y4, slot, bx, by, mvx, mvy):
+    """Quarter-pel MC via plane gathers.
+
+    dpb_y4: [S, 4, Hp, Wp] uint8 — (G, b, h, j) planes per slot.
+    slot/bx/by [N]; mv in qpel.  Returns [N, 4, 4] int32.
+
+    Position table (spec 8.4.2.2.1): out = (P1 + P2 + 1) >> 1 with plane and
+    offset selection by (xFrac, yFrac); full/half positions use P1 == P2.
+    """
+    Hp, Wp = dpb_y4.shape[2], dpb_y4.shape[3]
+    xi = bx + (mvx >> 2) + PAD
+    yi = by + (mvy >> 2) + PAD
     xf = mvx & 3
     yf = mvy & 3
-    xi = jnp.clip(xi, 0, Wp - _WIN)
-    yi = jnp.clip(yi, 0, Hp - _WIN)
 
-    def g(s, y, x):
-        return jax.lax.dynamic_slice(dpb_y, (s, y, x), (1, _WIN, _WIN))[0]
+    # plane/offset table per (yf, xf): (plane1, dy1, dx1, plane2, dy2, dx2)
+    # planes: 0 G, 1 b, 2 h, 3 j
+    table = jnp.asarray([
+        # yf = 0
+        [0, 0, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0], [1, 0, 0, 1, 0, 0],
+        [1, 0, 0, 0, 0, 1],
+        # yf = 1
+        [0, 0, 0, 2, 0, 0], [1, 0, 0, 2, 0, 0], [1, 0, 0, 3, 0, 0],
+        [1, 0, 0, 2, 0, 1],
+        # yf = 2
+        [2, 0, 0, 2, 0, 0], [2, 0, 0, 3, 0, 0], [3, 0, 0, 3, 0, 0],
+        [3, 0, 0, 2, 0, 1],
+        # yf = 3
+        [0, 1, 0, 2, 0, 0], [1, 1, 0, 2, 0, 0], [3, 0, 0, 1, 1, 0],
+        [1, 1, 0, 2, 0, 1],
+    ], jnp.int32)                               # [16, 6]
+    sel = table[yf * 4 + xf]                    # [N, 6]
 
-    win = jax.vmap(g)(slot, yi, xi).astype(jnp.int32)      # [N, 10, 10]
+    ys = jnp.arange(4)
+    xs = jnp.arange(4)
+    # clamp bases so the 4x4 read stays in the padded plane (clamp == spec
+    # edge extension given |overshoot| <= PAD handled by padding)
+    def gather(plane_idx, dy, dx):
+        yy = jnp.clip(yi[:, None] + dy[:, None] + ys[None, :], 0, Hp - 1)
+        xx = jnp.clip(xi[:, None] + dx[:, None] + xs[None, :], 0, Wp - 1)
+        return dpb_y4[slot[:, None, None], plane_idx[:, None, None],
+                      yy[:, :, None], xx[:, None, :]].astype(jnp.int32)
 
-    G = win[:, 2:8, 2:8]                                    # [N, 6, 6] (5 used)
-    b1 = _tap6(win, 2)                                      # [N, 10, 5]
-    h1 = _tap6(win, 1)                                      # [N, 5, 10]
-    b = jnp.clip((b1 + 16) >> 5, 0, 255)
-    hh = jnp.clip((h1 + 16) >> 5, 0, 255)
-    j1 = _tap6(b1, 1)                                       # [N, 5, 5]
-    j = jnp.clip((j1 + 512) >> 10, 0, 255)[:, :4, :4]
-    b_g = b[:, 2:8, :]                                      # [N, 5(rows), 5]
-    h_g = hh[:, :, 2:8]                                     # [N, 5, 5(cols)]
-
-    G00 = G[:, :4, :4]
-    G01 = G[:, :4, 1:5]
-    G10 = G[:, 1:5, :4]
-    b_same = b_g[:, :4, :4]
-    b_next = b_g[:, 1:5, :4]     # s: horizontal half at next row
-    h_same = h_g[:, :4, :4]
-    h_next = h_g[:, :4, 1:5]     # m: vertical half at next column
-
-    avg = lambda a, b_: (a + b_ + 1) >> 1
-    # candidates[yf][xf] per spec 8.4.2.2.1 position table
-    cand = [
-        [G00, avg(G00, b_same), b_same, avg(b_same, G01)],
-        [avg(G00, h_same), avg(b_same, h_same), avg(b_same, j),
-         avg(b_same, h_next)],
-        [h_same, avg(h_same, j), j, avg(j, h_next)],
-        [avg(G10, h_same), avg(b_next, h_same), avg(j, b_next),
-         avg(b_next, h_next)],
-    ]
-    stack = jnp.stack([jnp.stack(row, axis=1) for row in cand], axis=1)
-    # stack [N, 4(yf), 4(xf), 4, 4]
-    sel = stack[jnp.arange(stack.shape[0]), yf, xf]
-    return sel
+    p1 = gather(sel[:, 0], sel[:, 1], sel[:, 2])
+    p2 = gather(sel[:, 3], sel[:, 4], sel[:, 5])
+    same = (sel[:, 0] == sel[:, 3]) & (sel[:, 1] == sel[:, 4]) & \
+        (sel[:, 2] == sel[:, 5])
+    avg = (p1 + p2 + 1) >> 1
+    return jnp.where(same[:, None, None], p1, avg)
 
 
 def chroma_mc_blocks(dpb_c, slot, bx, by, mvx, mvy):
-    """1/8-pel bilinear chroma MC for N 2x2 blocks.
+    """1/8-pel bilinear chroma MC for N 2x2 blocks via 4 pixel gathers.
 
-    dpb_c [S, Hcp, Wcp] uint8 (padded PAD//2); (bx, by) unpadded chroma
-    block origin.  Returns [N, 2, 2] int32.
+    dpb_c [S, Hcp, Wcp] uint8 (padded PAD//2).  Returns [N, 2, 2] int32.
     """
     Hp, Wp = dpb_c.shape[1], dpb_c.shape[2]
     xi = bx + (mvx >> 3) + PAD // 2
     yi = by + (mvy >> 3) + PAD // 2
-    xf = mvx & 7
-    yf = mvy & 7
-    xi = jnp.clip(xi, 0, Wp - 3)
-    yi = jnp.clip(yi, 0, Hp - 3)
+    xf = (mvx & 7)[:, None, None]
+    yf = (mvy & 7)[:, None, None]
+    ys = jnp.arange(2)
+    xs = jnp.arange(2)
 
-    def g(s, y, x):
-        return jax.lax.dynamic_slice(dpb_c, (s, y, x), (1, 3, 3))[0]
+    def g(dy, dx):
+        yy = jnp.clip(yi[:, None] + ys[None, :] + dy, 0, Hp - 1)
+        xx = jnp.clip(xi[:, None] + xs[None, :] + dx, 0, Wp - 1)
+        return dpb_c[slot[:, None, None], yy[:, :, None],
+                     xx[:, None, :]].astype(jnp.int32)
 
-    win = jax.vmap(g)(slot, yi, xi).astype(jnp.int32)      # [N, 3, 3]
-    A = win[:, :2, :2]
-    B = win[:, :2, 1:3]
-    C = win[:, 1:3, :2]
-    D = win[:, 1:3, 1:3]
-    xf = xf[:, None, None]
-    yf = yf[:, None, None]
+    A = g(0, 0)
+    B = g(0, 1)
+    C = g(1, 0)
+    D = g(1, 1)
     return ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B +
             (8 - xf) * yf * C + xf * yf * D + 32) >> 6
 
@@ -133,12 +148,12 @@ def weight_bi_dev(p0, p1, w0, w1, o0, o1, log_wd):
     return jnp.clip(v, 0, 255)
 
 
-def inter_predict(abi, dpb_y, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
+def inter_predict(abi, dpb_y4, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
     """Prediction planes for all inter blocks (one batched kernel).
 
-    Uses per-block refslot/mv from the ABI; blocks whose list is unused get
-    unit-weight zero contributions masked out.  Returns (pred_y [H, W],
-    pred_cb, pred_cr) int32; values for intra MBs are garbage (masked later).
+    dpb_y4 [S, 4, Hp, Wp]: precomputed (G, b, h, j) planes per slot.
+    Returns (pred_y [H, W], pred_cb, pred_cr) int32; intra-MB regions are
+    garbage (masked by the caller).
     """
     n = mb_w * mb_h
     mv = abi["mv"].reshape(n * 16, 2, 2)            # [N, list, (x, y)]
@@ -159,7 +174,7 @@ def inter_predict(abi, dpb_y, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
     preds_cb = []
     preds_cr = []
     for lst in range(2):
-        py = luma_mc_blocks(dpb_y, slot[:, lst], bx, by,
+        py = luma_mc_gather(dpb_y4, slot[:, lst], bx, by,
                             mv[:, lst, 0], mv[:, lst, 1])
         pcb = chroma_mc_blocks(dpb_cb, slot[:, lst], cx, cy,
                                mv[:, lst, 0], mv[:, lst, 1])
@@ -169,7 +184,7 @@ def inter_predict(abi, dpb_y, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
         preds_cb.append(pcb)
         preds_cr.append(pcr)
 
-    wp = abi["wp"]                                   # [n,4,4,2,3,2] (list, plane(y/cb/cr), (w,o))
+    wp = abi["wp"]                                   # [n,4,4,2,3,2]
     wpf = wp.reshape(n * 16, 2, 3, 2)
     logwd_y = jnp.repeat(abi["logwd"][:, 0], 16)     # [N]
     logwd_c = jnp.repeat(abi["logwd"][:, 1], 16)
@@ -191,10 +206,8 @@ def inter_predict(abi, dpb_y, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
     out_cb = combine(preds_cb[0], preds_cb[1], 1, logwd_c)
     out_cr = combine(preds_cr[0], preds_cr[1], 2, logwd_c)
 
-    # assemble planes: [N,4,4] -> [n,16,4,4] -> plane
     from .transforms import blocks4_to_plane
     pred_y = blocks4_to_plane(out_y.reshape(n, 16, 4, 4), mb_w, mb_h)
-    # chroma blocks are 2x2 at (cell%4, cell//4): reassemble [n,8,8]
     pcb_mb = out_cb.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
     pcr_mb = out_cr.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
     pred_cb = pcb_mb.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3) \

@@ -3,10 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): >= 1000 decoded 1080p frames/sec/chip.
 
-Round-1 scope note: measures the device reconstruction pipeline (residual +
-intra wavefront + deblock wavefront) on 1080p I-frame MB tensors, batch
-over streams.  Host entropy decode (future C++ lib) is excluded; I-frames
-are the worst case for the wavefront stages.
+Measures the device reconstruction pipeline (residual + inter MC + intra
+wavefront + Pallas deblock) on 1080p I-frame MB tensors (worst case for the
+wavefront stages), batched over streams.  Host entropy decode runs on CPU
+cores concurrently (cpp/entropy.cpp, ~15 fps/core at dense 1080p CABAC) and
+is excluded here; see README Performance.
 """
 
 import functools
@@ -36,7 +37,7 @@ def main() -> None:
     abi = {k: jnp.asarray(v) for k, v in host.items()}
     from arrow_h264_tpu.ops.inter import PAD
     H, W = mb_h * 16, mb_w * 16
-    dpb = (jnp.zeros((batch, 2, H + 2 * PAD, W + 2 * PAD), jnp.uint8),
+    dpb = (jnp.zeros((batch, 2, 4, H + 2 * PAD, W + 2 * PAD), jnp.uint8),
            jnp.zeros((batch, 2, H // 2 + PAD, W // 2 + PAD), jnp.uint8),
            jnp.zeros((batch, 2, H // 2 + PAD, W // 2 + PAD), jnp.uint8))
     # compile + warmup

@@ -1,0 +1,60 @@
+"""Config 5: multi-stream batch decode sharded over an 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from tools import streams
+
+
+def test_batch_decoder_streams(h264ref, tmp_path):
+    """N independent streams through BatchDecoder, bit-exact each."""
+    from arrow_h264_tpu.parallel.batch import BatchDecoder
+    paths = []
+    for i in range(3):
+        yuv = streams.make_content(176, 144, 3, seed=100 + i)
+        p = str(tmp_path / f"s{i}.264")
+        streams.encode(yuv, 176, 144, p, streams.CONFIG_OPTS[2])
+        paths.append(p)
+    datas = [open(p, "rb").read() for p in paths]
+    goldens = [streams.golden_decode(p)[0] for p in paths]
+    outs = BatchDecoder(3).decode(datas)
+    for i, (frames, golden) in enumerate(zip(outs, goldens)):
+        ours = np.stack([np.frombuffer(f.planar(), np.uint8) for f in frames])
+        assert np.array_equal(ours, golden), f"stream {i} mismatch"
+
+
+def test_lockstep_sharded_step():
+    """Sharded lockstep reconstruction over the 8-device mesh."""
+    from arrow_h264_tpu.parallel.batch import decode_batch_lockstep
+    from arrow_h264_tpu.parallel.sharding import make_stream_mesh, \
+        sharded_decode_fn
+    from arrow_h264_tpu.ops.synthetic import synthetic_abi
+    from arrow_h264_tpu.ops.transforms import make_ws_consts
+    from arrow_h264_tpu.ops.inter import PAD
+    import jax.numpy as jnp
+
+    n = len(jax.devices())
+    assert n == 8, f"conftest should provide 8 cpu devices, got {n}"
+    mesh = make_stream_mesh()
+    mb_w, mb_h = 2, 2
+    H, W = mb_h * 16, mb_w * 16
+    ws4, ws8 = make_ws_consts([[16] * 16] * 6, [[16] * 64] * 2)
+    fn = sharded_decode_fn(mesh, mb_w, mb_h, ws4, ws8)
+    abis = [synthetic_abi(mb_w, mb_h, seed=i) for i in range(n)]
+    dpb = [(jnp.zeros((2, 4, H + 2 * PAD, W + 2 * PAD), jnp.uint8),
+            jnp.zeros((2, H // 2 + PAD, W // 2 + PAD), jnp.uint8),
+            jnp.zeros((2, H // 2 + PAD, W // 2 + PAD), jnp.uint8))
+           for _ in range(n)]
+    y, cb, cr = decode_batch_lockstep(fn, abis, dpb, mesh)
+    assert y.shape == (n, H, W)
+    # sharded result must equal per-stream unsharded decode
+    from arrow_h264_tpu.models.pipeline import decode_frame_fn, ABI_DEVICE_KEYS
+    import functools
+    single = functools.partial(decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
+                               ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
+                               cqp_off=(0, 0))
+    for i in range(n):
+        dev = {k: jnp.asarray(abis[i][k]) for k in ABI_DEVICE_KEYS}
+        ys, cbs, crs = single(dev, *dpb[i])
+        assert np.array_equal(np.asarray(y[i]), np.asarray(ys)), f"stream {i}"

@@ -1,0 +1,58 @@
+"""CLI driver + SEI parser coverage (SURVEY.md §2 Config/CLI, SEI, output)."""
+
+import numpy as np
+
+from arrow_h264_tpu.__main__ import main
+from arrow_h264_tpu.api import Decoder
+from arrow_h264_tpu.bitstream import nal
+from arrow_h264_tpu.bitstream.sei import (SEI_RECOVERY_POINT, SEIMessage,
+                                          parse_sei_rbsp, write_sei_rbsp)
+from tools import streams
+
+
+def test_sei_roundtrip_and_fields():
+    msgs = [
+        SEIMessage(SEI_RECOVERY_POINT, bytes([0b10110000])),  # ue(0)=1bit...
+        SEIMessage(300, b"\x01\x02\x03" * 100),               # long type+size
+    ]
+    # recovery point: recovery_frame_cnt=ue -> craft via bit writer instead
+    from arrow_h264_tpu.bitstream.bits import BitWriter
+    w = BitWriter()
+    w.ue(3)      # recovery_frame_cnt
+    w.u(1, 1)    # exact_match_flag
+    w.u(0, 1)    # broken_link_flag
+    w.u(2, 2)    # changing_slice_group_idc
+    w.u(0, (8 - w.bitpos % 8) % 8)  # pad to byte
+    msgs[0] = SEIMessage(SEI_RECOVERY_POINT, w.get_bytes())
+    rt = parse_sei_rbsp(write_sei_rbsp(msgs))
+    assert [m.payload_type for m in rt] == [SEI_RECOVERY_POINT, 300]
+    assert rt[0].fields["recovery_frame_cnt"] == 3
+    assert rt[0].fields["exact_match_flag"] == 1
+    assert rt[1].payload == msgs[1].payload
+
+
+def test_decoder_collects_x264_sei(h264ref, tmp_path):
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 1, seed=3)
+    path = str(tmp_path / "sei.264")
+    streams.encode(yuv, w, h, path, streams.CONFIG_OPTS[1])
+    data = open(path, "rb").read()
+    assert any(u.nal_unit_type == nal.NAL_SEI for u in nal.parse_annexb(data))
+    dec = Decoder(entropy="python")
+    list(dec.decode_annexb(data))
+    assert dec.sei_messages, "x264 userdata SEI should be collected"
+
+
+def test_cli_decode_matches_golden(h264ref, tmp_path):
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 3, seed=9)
+    path = str(tmp_path / "cli.264")
+    streams.encode(yuv, w, h, path, streams.CONFIG_OPTS[2])
+    golden, gw, gh = streams.golden_decode(path)
+    ref = str(tmp_path / "golden.yuv")
+    open(ref, "wb").write(golden.tobytes())
+    out = str(tmp_path / "out.yuv")
+    assert main(["decode", path, out, "--ref", ref,
+                 "--entropy", "python"]) == 0
+    assert open(out, "rb").read() == golden.tobytes()
+    assert main(["info", path]) == 0
