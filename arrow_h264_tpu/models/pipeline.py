@@ -22,7 +22,8 @@ import os
 from ..bitstream.params import PPS, SPS
 from ..ops.abi import KIND_P, FrameABI
 from ..ops.deblock import deblock_planes, deblock_tables
-from ..ops.inter import PAD, halfpel_planes, inter_predict
+from ..ops.inter import (MV_BAND, PAD, halfpel_planes, inter_predict,
+                         inter_predict_banded)
 from ..ops.intra import intra_reconstruct
 from ..ops.pallas.deblock_kernel import deblock_pallas
 from ..ops.pallas.intra_kernel import intra_reconstruct_pallas
@@ -46,21 +47,34 @@ ABI_DEVICE_KEYS = (
 
 def decode_frame_fn(abi: dict, dpb_y, dpb_cb, dpb_cr, *,
                     mb_w: int, mb_h: int, ws4, ws8, cqp_off,
-                    pallas: bool | None = None):
+                    pallas: bool | None = None, inter_mode: str = "banded"):
     """Pure function: ABI dict + device DPB -> (y, cb, cr) uint8 planes.
 
     dpb_y [S, 4, Hp, Wp]: (G, b, h, j) half-pel planes per slot.
-    pallas=None resolves by backend (TPU -> Pallas kernels)."""
+    pallas=None resolves by backend (TPU -> Pallas kernels).
+    inter_mode: "banded" (gather-free MC, |mv_int| <= MV_BAND), "gather"
+    (arbitrary MVs), or "none" (all-intra frame) — picked per frame by the
+    host (DevicePipeline.decode_frame)."""
     if pallas is None:
         pallas = _use_pallas()
     res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8, cqp_off)
-    pred_y, pred_cb, pred_cr = inter_predict(abi, dpb_y, dpb_cb, dpb_cr,
-                                             mb_w, mb_h)
-    inter_y = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 16)
-    inter_c = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 8)
-    init_y = jnp.where(inter_y, jnp.clip(pred_y + res_y, 0, 255), 0)
-    init_cb = jnp.where(inter_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
-    init_cr = jnp.where(inter_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
+    H, W = mb_h * 16, mb_w * 16
+    if inter_mode == "none":
+        init_y = jnp.zeros((H, W), jnp.int32)
+        init_cb = jnp.zeros((H // 2, W // 2), jnp.int32)
+        init_cr = init_cb
+    else:
+        mc = inter_predict_banded if inter_mode == "banded" else inter_predict
+        pred_y, pred_cb, pred_cr = mc(abi, dpb_y, dpb_cb, dpb_cr, mb_w, mb_h)
+        # fusion fence: without it XLA re-fuses the banded MC select chain
+        # into downstream consumers and pessimizes it by ~two orders
+        pred_y, pred_cb, pred_cr = jax.lax.optimization_barrier(
+            (pred_y, pred_cb, pred_cr))
+        inter_y = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 16)
+        inter_c = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 8)
+        init_y = jnp.where(inter_y, jnp.clip(pred_y + res_y, 0, 255), 0)
+        init_cb = jnp.where(inter_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
+        init_cr = jnp.where(inter_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
     if pallas:
         y, cb, cr = intra_reconstruct_pallas(
             abi, res_y, res_cb, res_cr, init_y, init_cb, init_cr, mb_w, mb_h)
@@ -100,11 +114,12 @@ class DevicePipeline:
         sl8 = pps.scaling_lists_8x8 if pps.scaling_lists_8x8 is not None \
             else sps.scaling_lists_8x8
         ws4, ws8 = make_ws_consts(sl4, sl8)
-        self._fn = jax.jit(functools.partial(
+        self._base = functools.partial(
             decode_frame_fn, mb_w=self.mb_w, mb_h=self.mb_h,
             ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
             cqp_off=(pps.chroma_qp_index_offset, pps.chroma_qp_offset(1)),
-        ))
+        )
+        self._fns: dict = {}
         self._store = jax.jit(store_ref_fn, donate_argnums=(0, 1, 2))
         self.n_slots = max(2, min(sps.max_num_ref_frames, 16) + 1)
         self.dpb_y = jnp.zeros((self.n_slots, 4, H + 2 * PAD, W + 2 * PAD),
@@ -113,10 +128,22 @@ class DevicePipeline:
                                 jnp.uint8)
         self.dpb_cr = jnp.zeros_like(self.dpb_cb)
 
+    def _select_inter_mode(self, abi: FrameABI) -> str:
+        if not bool(np.any(np.asarray(abi["kind"]) >= KIND_P)):
+            return "none"
+        mv_int = np.asarray(abi["mv"]) >> 2
+        if mv_int.min(initial=0) >= -MV_BAND - 1 and \
+                mv_int.max(initial=0) <= MV_BAND:
+            return "banded"
+        return "gather"
+
     def decode_frame(self, abi: FrameABI):
         dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
-        y, cb, cr = self._fn(dev, self.dpb_y, self.dpb_cb, self.dpb_cr)
-        return y, cb, cr
+        mode = self._select_inter_mode(abi)
+        if mode not in self._fns:
+            self._fns[mode] = jax.jit(
+                functools.partial(self._base, inter_mode=mode))
+        return self._fns[mode](dev, self.dpb_y, self.dpb_cb, self.dpb_cr)
 
     def store_ref(self, slot: int, y, cb, cr) -> None:
         self.dpb_y, self.dpb_cb, self.dpb_cr = self._store(

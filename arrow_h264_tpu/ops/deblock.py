@@ -37,14 +37,15 @@ def _bs_pair(ip, iq, mb_edge, nzp, nzq, refp, refq, mvp, mvq):
     """
     n_p = (refp >= 0).sum(-1)
     n_q = (refq >= 0).sum(-1)
-    sp = jnp.sort(refp, axis=-1)
-    sq = jnp.sort(refq, axis=-1)
-    sets_eq = jnp.all(sp == sq, axis=-1)
+    sets_eq = (jnp.minimum(refp[..., 0], refp[..., 1]) ==
+               jnp.minimum(refq[..., 0], refq[..., 1])) & \
+              (jnp.maximum(refp[..., 0], refp[..., 1]) ==
+               jnp.maximum(refq[..., 0], refq[..., 1]))
     # single-MV: pick the used list
-    lp = jnp.where(refp[..., 0] >= 0, 0, 1)
-    lq = jnp.where(refq[..., 0] >= 0, 0, 1)
-    mv1p = jnp.take_along_axis(mvp, lp[..., None, None], axis=-2)[..., 0, :]
-    mv1q = jnp.take_along_axis(mvq, lq[..., None, None], axis=-2)[..., 0, :]
+    p_use0 = (refp[..., 0] >= 0)[..., None]
+    q_use0 = (refq[..., 0] >= 0)[..., None]
+    mv1p = jnp.where(p_use0, mvp[..., 0, :], mvp[..., 1, :])
+    mv1q = jnp.where(q_use0, mvq[..., 0, :], mvq[..., 1, :])
     far1 = _mv_far(mv1p, mv1q)
     # two-MV: two pairings
     straight = _mv_far(mvp[..., 0, :], mvq[..., 0, :]) | \
@@ -325,6 +326,26 @@ def deblock_planes(abi, y, cb, cr, mb_w: int, mb_h: int, cqp_off=(0, 0)):
 # filters pixels.
 # ---------------------------------------------------------------------------
 
+def _lut52(table, idx):
+    """52-entry table lookup as a fused select chain (beats a TPU gather
+    by orders of magnitude on these small per-MB index arrays)."""
+    out = jnp.full(idx.shape, int(table[0]), jnp.int32)
+    for k in range(1, 52):
+        if int(table[k]) != int(table[k - 1]):
+            out = jnp.where(idx >= k, int(table[k]), out)
+    return out
+
+
+def _lut_tc0(tc0_table, bsi, ia):
+    """tc0[bsi, ia] (bsi in 0..2, ia in 0..51) via select chains."""
+    out = jnp.zeros(jnp.broadcast_shapes(bsi.shape, ia.shape), jnp.int32)
+    for k in range(52):
+        t0, t1, t2 = (int(tc0_table[r][k]) for r in range(3))
+        v = jnp.where(bsi == 0, t0, jnp.where(bsi == 1, t1, t2))
+        out = jnp.where(ia == k, v, out)
+    return out
+
+
 def deblock_tables(abi, mb_w: int, mb_h: int, cqp_off=(0, 0)):
     """Per-edge bS / tc0 / alpha / beta tables for the whole frame.
 
@@ -360,10 +381,7 @@ def deblock_tables(abi, mb_w: int, mb_h: int, cqp_off=(0, 0)):
         (jnp.arange(mb_h)[:, None] > 0) & \
         ~((dis == 2) & (shift_up(sid) != sid))
 
-    alpha_t = jnp.asarray(_ALPHA)
-    beta_t = jnp.asarray(_BETA)
-    tc0_t = jnp.asarray(_TC0)
-    cqp_t = jnp.asarray(_CQP)
+    alpha_t, beta_t, tc0_t, cqp_t = _ALPHA, _BETA, _TC0, _CQP
 
     def one_dir(horiz: bool):
         if horiz:
@@ -401,9 +419,9 @@ def deblock_tables(abi, mb_w: int, mb_h: int, cqp_off=(0, 0)):
             qpav = (qp_p + qp + 1) >> 1
             ia = jnp.clip(qpav + a_off, 0, 51)
             ib = jnp.clip(qpav + b_off, 0, 51)
-            a = alpha_t[ia]
-            b = beta_t[ib]
-            tc0 = tc0_t[jnp.clip(bs - 1, 0, 2), ia[..., None]]
+            a = _lut52(alpha_t, ia)
+            b = _lut52(beta_t, ib)
+            tc0 = _lut_tc0(tc0_t, jnp.clip(bs - 1, 0, 2), ia[..., None])
             bs_list.append(bs)
             tc_list.append(tc0)
             a_list.append(a)
@@ -428,15 +446,16 @@ def deblock_tables(abi, mb_w: int, mb_h: int, cqp_off=(0, 0)):
             qpp = qp_nb if e == 0 else qp
             tce, ae, be = [], [], []
             for pl_ in range(2):
-                qpc_p = cqp_t[jnp.clip(qpp + cqp_off[pl_], 0, 51)]
-                qpc_q = cqp_t[jnp.clip(qp + cqp_off[pl_], 0, 51)]
+                qpc_p = _lut52(cqp_t, jnp.clip(qpp + cqp_off[pl_], 0, 51))
+                qpc_q = _lut52(cqp_t, jnp.clip(qp + cqp_off[pl_], 0, 51))
                 qpav = (qpc_p + qpc_q + 1) >> 1
                 ia = jnp.clip(qpav + a_off, 0, 51)
                 ib = jnp.clip(qpav + b_off, 0, 51)
-                ae.append(alpha_t[ia])
-                be.append(beta_t[ib])
+                ae.append(_lut52(alpha_t, ia))
+                be.append(_lut52(beta_t, ib))
                 bs_here = bs_c[:, d, e].reshape(mb_h, mb_w, 4)
-                tce.append(tc0_t[jnp.clip(bs_here - 1, 0, 2), ia[..., None]])
+                tce.append(_lut_tc0(tc0_t, jnp.clip(bs_here - 1, 0, 2),
+                                    ia[..., None]))
             tcs.append(jnp.stack(tce, -1))       # [mbh,mbw,4,2]
             as_.append(jnp.stack(ae, -1))        # [mbh,mbw,2]
             bs_.append(jnp.stack(be, -1))

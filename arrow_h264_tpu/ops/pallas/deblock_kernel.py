@@ -4,14 +4,17 @@ Split insight: boundary strengths, alpha/beta thresholds, and tc0 depend
 only on CODING data (intra flags, nz, MVs, QPs) — never on pixels — so they
 are precomputed for every edge of the frame in one vectorized XLA pass
 (ops.deblock.deblock_tables).  The Pallas kernel performs only pixel
-filtering, with the frame planes resident in VMEM and the knight-move
-wavefront as a sequential grid dimension (zero per-phase launch overhead).
+filtering, with the frame planes resident in VMEM, walking MBs in RASTER
+order (the exact spec-serial order — a sequential kernel needs no wavefront
+schedule), one grid step per MB row.
 
 Mosaic on this platform only allows ALIGNED dynamic slices (sublanes %8,
 lanes %128), so each MB loads an aligned 256-lane working tile, normalizes
 it with a dynamic lane roll, filters all 8 edges at STATIC in-tile offsets
-through a VMEM scratch, rolls back, and stores.  Per-MB scalar metadata
-(bS / tc0 / alpha / beta) is delivered through per-phase SMEM blocks.
+through a VMEM scratch, rolls back, and stores.  All per-MB scalar metadata
+(bS / tc0 / alpha / beta) is packed into ONE [mb_h, mb_w, 128] SMEM array
+so each fetch is a direct [0, mbx, field] read (no div/mod address math —
+the scalar core's divide is the single biggest per-MB cost otherwise).
 
 Bit-exact vs oracle.deblock: same integer formulas, same MB-serial order.
 """
@@ -25,8 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from ..intra import build_schedule
 
 LPAD = 8  # left/top origin shift (keeps MB origins 8-aligned in sublanes)
 
@@ -175,97 +176,93 @@ def _filter_chroma_rows(win, bs, tc0, alpha, beta):
     return _place_rows(win, {1: np0, 2: nq0})
 
 
-def _sm(ref, f):
-    """Scalar fetch from a [1, k, 128]-blocked SMEM ref at flat index f."""
-    return ref[0, f // 128, f % 128]
+# luma SMEM field layout (one [mb_h, mb_w, 128] int32 array):
+#   bs_v  e*4+s -> 0..15     tc_v 16..31    a_v 32..35    b_v 36..39
+#   bs_h        -> 40..55    tc_h 56..71    a_h 72..75    b_h 76..79
+# chroma (per plane):
+#   bs_c d*8+e*4+s -> 0..15  tc_c 16..31 (d*8+e*4+s)  a_c 32..35  b_c 36..39
+#   (d = 0 vertical, 1 horizontal; e = edge; s = 4-row/col segment)
 
 
-def _luma_kernel(idx_ref, bsv_ref, tcv_ref, av_ref, bv_ref,
-                 bsh_ref, tch_ref, ah_ref, bh_ref, y_in, out_ref, scratch,
-                 *, mb_w: int, pmax: int):
-    def body(p, _):
-        idx = _sm(idx_ref, p)
+def _luma_kernel(md_ref, y_in, out_ref, scratch, *, mb_w: int):
+    mby = pl.program_id(0)
+    ty = pl.multiple_of(mby * 16, 16)          # tile top (= y0 - 8)
 
-        @pl.when(idx >= 0)
-        def _():
-            mbx = idx % mb_w
-            mby = idx // mb_w
-            x0 = mbx * 16 + LPAD              # MB left in padded plane
-            ty = pl.multiple_of(mby * 16, 16)  # tile top (= y0 - 8)
-            ax = pl.multiple_of(((x0 - 4) // 128) * 128, 128)
-            off = x0 - 4 - ax                  # 0..127, multiple of 4
-            tile = out_ref[pl.ds(ty, 32), pl.ds(ax, 256)].astype(jnp.int32)
-            scratch[:, :] = pltpu.roll(tile, -off, 1)
-            # window geometry (static): MB rows = scratch rows 8..24,
-            # window col c == absolute x0 - 4 + c
-            for e in range(4):  # vertical edges, left to right
-                win = scratch[8:24, 4 * e:4 * e + 8]
-                base = p * 16 + e * 4
-                bs = _seg_col([_sm(bsv_ref, base + s) for s in range(4)], 4)
-                tc = _seg_col([_sm(tcv_ref, base + s) for s in range(4)], 4)
-                f = _filter_luma_cols(win, bs, tc, _sm(av_ref, p * 4 + e),
-                                      _sm(bv_ref, p * 4 + e))
-                scratch[8:24, 4 * e:4 * e + 8] = f
-            for e in range(4):  # horizontal edges, top to bottom
-                win = scratch[4 + 4 * e:12 + 4 * e, 4:20]
-                base = p * 16 + e * 4
-                bs = _seg_row([_sm(bsh_ref, base + s) for s in range(4)], 4)
-                tc = _seg_row([_sm(tch_ref, base + s) for s in range(4)], 4)
-                f = _filter_luma_rows16(win, bs, tc, _sm(ah_ref, p * 4 + e),
-                                        _sm(bh_ref, p * 4 + e))
-                scratch[4 + 4 * e:12 + 4 * e, 4:20] = f
-            out_ref[pl.ds(ty, 32), pl.ds(ax, 256)] = \
-                pltpu.roll(scratch[:, :], off, 1).astype(out_ref.dtype)
+    @pl.when(mby == 0)
+    def _():
+        # seed the output plane (kernels update MBs in place; explicit copy
+        # instead of input_output_aliases, which miscompiles when fused
+        # with large upstream graphs on this platform)
+        out_ref[:, :] = y_in[:, :]
+
+    def body(mbx, _):
+        x0 = mbx * 16 + LPAD                   # MB left in padded plane
+        ax = pl.multiple_of(((x0 - 4) // 128) * 128, 128)
+        off = x0 - 4 - ax                      # 0..127, multiple of 4
+        tile = out_ref[pl.ds(ty, 32), pl.ds(ax, 256)].astype(jnp.int32)
+        scratch[:, :] = pltpu.roll(tile, -off, 1)
+        # window geometry (static): MB rows = scratch rows 8..24,
+        # window col c == absolute x0 - 4 + c
+        for e in range(4):  # vertical edges, left to right
+            win = scratch[8:24, 4 * e:4 * e + 8]
+            bs = _seg_col([md_ref[0, mbx, e * 4 + s] for s in range(4)], 4)
+            tc = _seg_col([md_ref[0, mbx, 16 + e * 4 + s]
+                           for s in range(4)], 4)
+            f = _filter_luma_cols(win, bs, tc, md_ref[0, mbx, 32 + e],
+                                  md_ref[0, mbx, 36 + e])
+            scratch[8:24, 4 * e:4 * e + 8] = f
+        for e in range(4):  # horizontal edges, top to bottom
+            win = scratch[4 + 4 * e:12 + 4 * e, 4:20]
+            bs = _seg_row([md_ref[0, mbx, 40 + e * 4 + s]
+                           for s in range(4)], 4)
+            tc = _seg_row([md_ref[0, mbx, 56 + e * 4 + s]
+                           for s in range(4)], 4)
+            f = _filter_luma_rows16(win, bs, tc, md_ref[0, mbx, 72 + e],
+                                    md_ref[0, mbx, 76 + e])
+            scratch[4 + 4 * e:12 + 4 * e, 4:20] = f
+        out_ref[pl.ds(ty, 32), pl.ds(ax, 256)] = \
+            pltpu.roll(scratch[:, :], off, 1).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, pmax, body, 0)
+    jax.lax.fori_loop(0, mb_w, body, 0)
 
 
-def _chroma_kernel(idx_ref, bsc_ref, tcc_ref, ac_ref, bc_ref,
-                   c_in, out_ref, scratch, *, mb_w: int, pmax: int,
-                   plane: int):
-    def body(p, _):
-        idx = _sm(idx_ref, p)
+def _chroma_kernel(md_ref, c_in, out_ref, scratch, *, mb_w: int):
+    mby = pl.program_id(0)
+    ty = pl.multiple_of(mby * 8, 8)            # tile top (= y0 - 8)
 
-        @pl.when(idx >= 0)
-        def _():
-            mbx = idx % mb_w
-            mby = idx // mb_w
-            x0 = mbx * 8 + LPAD
-            ty = pl.multiple_of(mby * 8, 8)    # tile top (= y0 - 8)
-            ax = pl.multiple_of(((x0 - 2) // 128) * 128, 128)
-            off = x0 - 2 - ax
-            tile = out_ref[pl.ds(ty, 24), pl.ds(ax, 256)].astype(jnp.int32)
-            scratch[:, :] = pltpu.roll(tile, -off, 1)
-            # MB rows = scratch rows 8..16; window col c == x0 - 2 + c
-            # flat strides: bs_c (p,d,e,s): p*16 + d*8 + e*4 + s
-            # tc_c (p,d,e,s,pl): p*32 + d*16 + e*8 + s*2 + pl
-            # a/b_c (p,d,e,pl): p*8 + d*4 + e*2 + pl
-            for e in range(2):  # vertical chroma edges (luma edges 0, 8)
-                win = scratch[8:16, 4 * e:4 * e + 4]
-                bs = _seg_col([_sm(bsc_ref, p * 16 + e * 4 + s)
-                               for s in range(4)], 2)
-                tc = _seg_col([_sm(tcc_ref, p * 32 + e * 8 + s * 2 + plane)
-                               for s in range(4)], 2)
-                f = _filter_chroma_cols(win, bs, tc,
-                                        _sm(ac_ref, p * 8 + e * 2 + plane),
-                                        _sm(bc_ref, p * 8 + e * 2 + plane))
-                scratch[8:16, 4 * e:4 * e + 4] = f
-            for e in range(2):
-                win = scratch[6 + 4 * e:10 + 4 * e, 2:10]
-                bs = _seg_row([_sm(bsc_ref, p * 16 + 8 + e * 4 + s)
-                               for s in range(4)], 2)
-                tc = _seg_row([_sm(tcc_ref, p * 32 + 16 + e * 8 + s * 2 + plane)
-                               for s in range(4)], 2)
-                f = _filter_chroma_rows(win, bs, tc,
-                                        _sm(ac_ref, p * 8 + 4 + e * 2 + plane),
-                                        _sm(bc_ref, p * 8 + 4 + e * 2 + plane))
-                scratch[6 + 4 * e:10 + 4 * e, 2:10] = f
-            out_ref[pl.ds(ty, 24), pl.ds(ax, 256)] = \
-                pltpu.roll(scratch[:, :], off, 1).astype(out_ref.dtype)
+    @pl.when(mby == 0)
+    def _():
+        out_ref[:, :] = c_in[:, :]
+
+    def body(mbx, _):
+        x0 = mbx * 8 + LPAD
+        ax = pl.multiple_of(((x0 - 2) // 128) * 128, 128)
+        off = x0 - 2 - ax
+        tile = out_ref[pl.ds(ty, 24), pl.ds(ax, 256)].astype(jnp.int32)
+        scratch[:, :] = pltpu.roll(tile, -off, 1)
+        # MB rows = scratch rows 8..16; window col c == x0 - 2 + c
+        for e in range(2):  # vertical chroma edges (luma edges 0, 8)
+            win = scratch[8:16, 4 * e:4 * e + 4]
+            bs = _seg_col([md_ref[0, mbx, e * 4 + s] for s in range(4)], 2)
+            tc = _seg_col([md_ref[0, mbx, 16 + e * 4 + s]
+                           for s in range(4)], 2)
+            f = _filter_chroma_cols(win, bs, tc, md_ref[0, mbx, 32 + e],
+                                    md_ref[0, mbx, 36 + e])
+            scratch[8:16, 4 * e:4 * e + 4] = f
+        for e in range(2):
+            win = scratch[6 + 4 * e:10 + 4 * e, 2:10]
+            bs = _seg_row([md_ref[0, mbx, 8 + e * 4 + s] for s in range(4)], 2)
+            tc = _seg_row([md_ref[0, mbx, 24 + e * 4 + s]
+                           for s in range(4)], 2)
+            f = _filter_chroma_rows(win, bs, tc, md_ref[0, mbx, 34 + e],
+                                    md_ref[0, mbx, 38 + e])
+            scratch[6 + 4 * e:10 + 4 * e, 2:10] = f
+        out_ref[pl.ds(ty, 24), pl.ds(ax, 256)] = \
+            pltpu.roll(scratch[:, :], off, 1).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, pmax, body, 0)
+    jax.lax.fori_loop(0, mb_w, body, 0)
 
 
 def _pad_plane(p, h_pad: int, w_align: int):
@@ -276,84 +273,63 @@ def _pad_plane(p, h_pad: int, w_align: int):
                    ((LPAD, h_pad), (LPAD, Wp - W - LPAD)))
 
 
+def _pack_md(fields, mb_w: int, mb_h: int):
+    """Concat per-MB fields into ONE [mb_h, mb_w8, 128] int32 SMEM array."""
+    n = mb_w * mb_h
+    cols = jnp.concatenate(
+        [f.reshape(n, -1).astype(jnp.int32) for f in fields], axis=1)
+    w8 = -(-mb_w // 8) * 8
+    md = jnp.pad(cols, ((0, 0), (0, 128 - cols.shape[1])))
+    md = md.reshape(mb_h, mb_w, 128)
+    return jnp.pad(md, ((0, 0), (0, w8 - mb_w), (0, 0)))
+
+
 def deblock_pallas(y, cb, cr, tables, mb_w: int, mb_h: int):
-    """Run the wavefront deblock kernels.  y [H, W] int32 planes (in),
+    """Run the raster-order deblock kernels.  y [H, W] int32 planes (in),
     tables from ops.deblock.deblock_tables.  Returns filtered planes."""
     H, W = mb_h * 16, mb_w * 16
-    mb_idx, active = build_schedule(mb_w, mb_h)
-    F, P = mb_idx.shape
-    idx = jnp.where(active, mb_idx, -1).astype(jnp.int32)
-    flat = jnp.clip(idx, 0, mb_w * mb_h - 1).reshape(-1)
-
-    def per_phase(t):  # gather [n,...] table -> [F,P,...] and mask inactive
-        g = jnp.take(t, flat, axis=0).reshape((F, P) + t.shape[1:])
-        return g
-
-    bsv = jnp.where((idx >= 0)[..., None, None], per_phase(tables["bs_v"]), 0)
-    bsh = jnp.where((idx >= 0)[..., None, None], per_phase(tables["bs_h"]), 0)
-    tcv = per_phase(tables["tc_v"])
-    tch = per_phase(tables["tc_h"])
-    av = per_phase(tables["a_v"])
-    bv = per_phase(tables["b_v"])
-    ah = per_phase(tables["a_h"])
-    bh = per_phase(tables["b_h"])
-    bsc = jnp.where((idx >= 0)[..., None, None, None],
-                    per_phase(tables["bs_c"]), 0)
-    tcc = per_phase(tables["tc_c"])
-    ac = per_phase(tables["a_c"])
-    bc = per_phase(tables["b_c"])
-
     interp = jax.default_backend() == "cpu"  # interpret mode off-TPU
 
-    def smem_pack(a):
-        """[F, ...] -> [F, k, 128] int32 (SMEM block rule: (8,128) tiles)."""
-        flat = a.reshape(F, -1).astype(jnp.int32)
-        k = max(1, -(-flat.shape[1] // 128))
-        pad = k * 128 - flat.shape[1]
-        return jnp.pad(flat, ((0, 0), (0, pad))).reshape(F, k, 128)
-
     def smem_spec(a):
-        k = a.shape[1]
-        return pl.BlockSpec((1, k, 128), lambda i: (i, 0, 0),
+        return pl.BlockSpec((1, a.shape[1], 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
+
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    md_y = _pack_md((tables["bs_v"], tables["tc_v"], tables["a_v"],
+                     tables["b_v"], tables["bs_h"], tables["tc_h"],
+                     tables["a_h"], tables["b_h"]), mb_w, mb_h)
     yp = _pad_plane(y, 16, 256)
-    kern = functools.partial(_luma_kernel, mb_w=mb_w, pmax=P)
-    luma_args = [smem_pack(a) for a in (idx, bsv, tcv, av, bv, bsh, tch,
-                                        ah, bh)]
     yf = pl.pallas_call(
-        kern,
+        functools.partial(_luma_kernel, mb_w=mb_w),
         out_shape=jax.ShapeDtypeStruct(yp.shape, jnp.int16),
-        grid=(F,),
-        in_specs=[smem_spec(a) for a in luma_args] + [vmem],
+        grid=(mb_h,),
+        in_specs=[smem_spec(md_y), vmem],
         out_specs=vmem,
         scratch_shapes=[pltpu.VMEM((32, 256), jnp.int32)],
-        input_output_aliases={9: 0},
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(*luma_args, yp)
+    )(md_y, yp)
     y_out = yf[LPAD:LPAD + H, LPAD:LPAD + W].astype(jnp.int32)
 
     outs_c = []
     for plane_idx, plane in ((0, cb), (1, cr)):
+        md_c = _pack_md((tables["bs_c"], tables["tc_c"][..., plane_idx],
+                         tables["a_c"][..., plane_idx],
+                         tables["b_c"][..., plane_idx]), mb_w, mb_h)
         cp = _pad_plane(plane, 16, 256)
-        kern_c = functools.partial(_chroma_kernel, mb_w=mb_w, pmax=P,
-                                   plane=plane_idx)
-        c_args = [smem_pack(a) for a in (idx, bsc, tcc, ac, bc)]
         cf = pl.pallas_call(
-            kern_c,
+            functools.partial(_chroma_kernel, mb_w=mb_w),
             out_shape=jax.ShapeDtypeStruct(cp.shape, jnp.int16),
-            grid=(F,),
-            in_specs=[smem_spec(a) for a in c_args] + [vmem],
+            grid=(mb_h,),
+            in_specs=[smem_spec(md_c), vmem],
             out_specs=vmem,
             scratch_shapes=[pltpu.VMEM((24, 256), jnp.int32)],
-            input_output_aliases={5: 0},
             interpret=interp,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
-        )(*c_args, cp)
+        )(md_c, cp)
         outs_c.append(cf[LPAD:LPAD + H // 2,
                          LPAD:LPAD + W // 2].astype(jnp.int32))
     return y_out, outs_c[0], outs_c[1]

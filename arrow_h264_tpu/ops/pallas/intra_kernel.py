@@ -1,10 +1,13 @@
 """Pallas TPU intra-reconstruction kernel (spec 8.3) — the hot path.
 
-Same wavefront architecture as the deblock kernel: the knight-move phase
-schedule is a sequential grid; each MB loads an aligned working tile (its
-pixels + the 1-pixel top/left halo and top-right extension), normalizes it
-with a dynamic lane roll, reconstructs all its blocks at STATIC in-tile
-offsets in spec decode order, rolls back, and stores.
+Same architecture as the deblock kernel: MBs walk in RASTER order (the
+exact spec-serial order; a sequential kernel needs no wavefront schedule)
+with one grid step per MB row; each intra MB loads an aligned working tile
+(its pixels + the 1-pixel top/left halo and top-right extension), normalizes
+it with a dynamic lane roll, reconstructs all its blocks at STATIC in-tile
+offsets in spec decode order, rolls back, and stores.  Per-MB scalars come
+from one packed [mb_h, mb_w8, 128] SMEM array (direct [0, mbx, field] reads;
+no div/mod address math on the scalar core).
 
 Directional prediction uses the oracle-probed weight tables
 (ops.intra_tables.K4_PACKED / K8_PACKED): every mode is a non-negative
@@ -29,14 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..abi import KIND_I4x4, KIND_I8x8, KIND_I16, KIND_IPCM
-from ..intra import build_schedule
 from ..intra_tables import K4_PACKED, K8_PACKED
 
 LPAD = 8
-
-
-def _sm(ref, f):
-    return ref[0, f // 128, f % 128]
 
 
 def _lane_iota(shape):
@@ -259,19 +257,30 @@ _I4_ORDER = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
              (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
 
 
-def _luma_kernel(idx_ref, kind_ref, i4m_ref, i4a_ref, i8m_ref, i8a_ref,
-                 i16_ref, mba_ref, k4_ref, k8_ref, y_in, res_in,
-                 out_ref, scr, rscr, *, mb_w: int, pmax: int):
-    def body(p, _):
-        idx = _sm(idx_ref, p)
-        kind = _sm(kind_ref, p)
+# SMEM field layout (one [mb_h, mb_w8, 128] int32 array per kernel):
+#   luma: kind 0, i4_modes 1..16, i4_avail 17..32 (packed al|at<<1|atl<<2|
+#   atr<<3), i8_modes 33..36, i8_avail 37..40, i16_mode 41, mb_avail 42
+#   chroma: kind 0, chroma_mode 1, mb_avail 2
 
-        @pl.when((idx >= 0) & (kind <= KIND_IPCM))
+
+def _luma_kernel(md_ref, k4_ref, k8_ref, y_in, res_in,
+                 out_ref, scr, rscr, *, mb_w: int):
+    mby = pl.program_id(0)
+    ty = pl.multiple_of(mby * 16, 16)
+
+    @pl.when(mby == 0)
+    def _():
+        # seed the output plane (explicit copy instead of
+        # input_output_aliases, which miscompiles when fused with large
+        # upstream graphs on this platform)
+        out_ref[:, :] = y_in[:, :]
+
+    def body(mbx, _):
+        kind = md_ref[0, mbx, 0]
+
+        @pl.when(kind <= KIND_IPCM)
         def _():
-            mbx = idx % mb_w
-            mby = idx // mb_w
             x0 = mbx * 16 + LPAD
-            ty = pl.multiple_of(mby * 16, 16)
             ax = pl.multiple_of(((x0 - 8) // 128) * 128, 128)
             off = x0 - 8 - ax
             tile = out_ref[pl.ds(ty, 32), pl.ds(ax, 256)].astype(jnp.int32)
@@ -285,54 +294,56 @@ def _luma_kernel(idx_ref, kind_ref, i4m_ref, i4a_ref, i8m_ref, i8a_ref,
                 for blk, (x4, y4) in enumerate(_I4_ORDER):
                     r = y4 * 4 + x4
                     _luma4_block(scr, rscr, k4_ref, 8 + 4 * x4, 8 + 4 * y4,
-                                 _sm(i4m_ref, p * 16 + r),
-                                 _sm(i4a_ref, p * 16 + r))
+                                 md_ref[0, mbx, 1 + r],
+                                 md_ref[0, mbx, 17 + r])
 
             @pl.when(kind == KIND_I8x8)
             def _():
                 for b8 in range(4):
                     _luma8_block(scr, rscr, k8_ref, 8 + 8 * (b8 % 2),
                                  8 + 8 * (b8 // 2),
-                                 _sm(i8m_ref, p * 4 + b8),
-                                 _sm(i8a_ref, p * 4 + b8))
+                                 md_ref[0, mbx, 33 + b8],
+                                 md_ref[0, mbx, 37 + b8])
 
             @pl.when((kind == KIND_I16) | (kind == KIND_IPCM))
             def _():
-                _luma16_job(scr, rscr, 8, 8, _sm(i16_ref, p),
-                            _sm(mba_ref, p), kind == KIND_IPCM)
+                _luma16_job(scr, rscr, 8, 8, md_ref[0, mbx, 41],
+                            md_ref[0, mbx, 42], kind == KIND_IPCM)
 
             out_ref[pl.ds(ty, 32), pl.ds(ax, 256)] = \
                 pltpu.roll(scr[:, :], off, 1).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, pmax, body, 0)
+    jax.lax.fori_loop(0, mb_w, body, 0)
 
 
-def _chroma_kernel(idx_ref, kind_ref, cm_ref, mba_ref, c_in, res_in,
-                   out_ref, scr, rscr, *, mb_w: int, pmax: int):
-    def body(p, _):
-        idx = _sm(idx_ref, p)
-        kind = _sm(kind_ref, p)
+def _chroma_kernel(md_ref, c_in, res_in, out_ref, scr, rscr, *, mb_w: int):
+    mby = pl.program_id(0)
+    ty = pl.multiple_of(mby * 8, 8)
 
-        @pl.when((idx >= 0) & (kind <= KIND_IPCM))
+    @pl.when(mby == 0)
+    def _():
+        out_ref[:, :] = c_in[:, :]
+
+    def body(mbx, _):
+        kind = md_ref[0, mbx, 0]
+
+        @pl.when(kind <= KIND_IPCM)
         def _():
-            mbx = idx % mb_w
-            mby = idx // mb_w
             x0 = mbx * 8 + LPAD
-            ty = pl.multiple_of(mby * 8, 8)
             ax = pl.multiple_of(((x0 - 8) // 128) * 128, 128)
             off = x0 - 8 - ax
             tile = out_ref[pl.ds(ty, 24), pl.ds(ax, 256)].astype(jnp.int32)
             scr[:, :] = pltpu.roll(tile, -off, 1)
             rtile = res_in[pl.ds(ty, 24), pl.ds(ax, 256)].astype(jnp.int32)
             rscr[:, :] = pltpu.roll(rtile, -off, 1)
-            _chroma_job(scr, rscr, 8, 8, _sm(cm_ref, p), _sm(mba_ref, p),
-                        kind == KIND_IPCM)
+            _chroma_job(scr, rscr, 8, 8, md_ref[0, mbx, 1],
+                        md_ref[0, mbx, 2], kind == KIND_IPCM)
             out_ref[pl.ds(ty, 24), pl.ds(ax, 256)] = \
                 pltpu.roll(scr[:, :], off, 1).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, pmax, body, 0)
+    jax.lax.fori_loop(0, mb_w, body, 0)
 
 
 def _pad_plane(p, dtype=jnp.int16):
@@ -344,38 +355,32 @@ def _pad_plane(p, dtype=jnp.int16):
 def intra_reconstruct_pallas(abi, res_y, res_cb, res_cr,
                              init_y, init_cb, init_cr,
                              mb_w: int, mb_h: int):
-    """Pallas intra/PCM wavefront.  Same contract as ops.intra.intra_reconstruct
-    (with init planes carrying reconstructed inter pixels)."""
+    """Pallas intra/PCM reconstruction in raster (spec) order.  Same contract
+    as ops.intra.intra_reconstruct (init planes carry inter pixels)."""
     H, W = mb_h * 16, mb_w * 16
-    mb_idx, active = build_schedule(mb_w, mb_h)
-    F, P = mb_idx.shape
-    idx = jnp.where(active, mb_idx, -1).astype(jnp.int32)
-    flat = jnp.clip(idx, 0, mb_w * mb_h - 1).reshape(-1)
+    n = mb_w * mb_h
 
-    def gather(t):
-        return jnp.take(t, flat, axis=0).reshape((F, P) + t.shape[1:])
+    def pack_md(fields):
+        cols = jnp.concatenate(
+            [f.reshape(n, -1).astype(jnp.int32) for f in fields], axis=1)
+        w8 = -(-mb_w // 8) * 8
+        md = jnp.pad(cols, ((0, 0), (0, 128 - cols.shape[1])))
+        md = md.reshape(mb_h, mb_w, 128)
+        return jnp.pad(md, ((0, 0), (0, w8 - mb_w), (0, 0)))
 
-    kind = gather(abi["kind"])
-    i4m = gather(abi["i4_modes"])
     av = abi["i4_avail"]
-    i4a = gather(av[..., 0] | (av[..., 1] << 1) | (av[..., 2] << 2)
-                 | (av[..., 3] << 3))
+    i4a = (av[..., 0] | (av[..., 1] << 1) | (av[..., 2] << 2)
+           | (av[..., 3] << 3))
     av8 = abi["i8_avail"]
-    i8a = gather(av8[..., 0] | (av8[..., 1] << 1) | (av8[..., 2] << 2)
-                 | (av8[..., 3] << 3))
-    i8m = gather(abi["i8_modes"])
-    i16 = gather(abi["i16_mode"])
+    i8a = (av8[..., 0] | (av8[..., 1] << 1) | (av8[..., 2] << 2)
+           | (av8[..., 3] << 3))
     mav = abi["mb_avail"]
-    mba = gather(mav[..., 0] | (mav[..., 1] << 1) | (mav[..., 2] << 2))
-    cm = gather(abi["chroma_mode"])
+    mba = mav[..., 0] | (mav[..., 1] << 1) | (mav[..., 2] << 2)
+    md_y = pack_md((abi["kind"], abi["i4_modes"], i4a, abi["i8_modes"],
+                    i8a, abi["i16_mode"], mba))
+    md_c = pack_md((abi["kind"], abi["chroma_mode"], mba))
 
     interp = jax.default_backend() == "cpu"
-
-    def smem_pack(a):
-        f2 = a.reshape(F, -1).astype(jnp.int32)
-        k = max(1, -(-f2.shape[1] // 128))
-        return jnp.pad(f2, ((0, 0), (0, k * 128 - f2.shape[1]))) \
-            .reshape(F, k, 128)
 
     def smem_spec(a):
         return pl.BlockSpec((1, a.shape[1], 128), lambda i: (i, 0, 0),
@@ -384,42 +389,36 @@ def intra_reconstruct_pallas(abi, res_y, res_cb, res_cr,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     yp = _pad_plane(init_y)
     rp = _pad_plane(res_y)
-    sm_args = [smem_pack(a) for a in (idx, kind, i4m, i4a, i8m, i8a, i16, mba)]
-    kern = functools.partial(_luma_kernel, mb_w=mb_w, pmax=P)
     yf = pl.pallas_call(
-        kern,
+        functools.partial(_luma_kernel, mb_w=mb_w),
         out_shape=jax.ShapeDtypeStruct(yp.shape, jnp.int16),
-        grid=(F,),
-        in_specs=[smem_spec(a) for a in sm_args] + [vmem, vmem, vmem, vmem],
+        grid=(mb_h,),
+        in_specs=[smem_spec(md_y), vmem, vmem, vmem, vmem],
         out_specs=vmem,
         scratch_shapes=[pltpu.VMEM((32, 256), jnp.int32),
                         pltpu.VMEM((32, 256), jnp.int32)],
-        input_output_aliases={10: 0},
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(*sm_args, jnp.asarray(K4_PACKED), jnp.asarray(K8_PACKED), yp, rp)
+    )(md_y, jnp.asarray(K4_PACKED), jnp.asarray(K8_PACKED), yp, rp)
     y_out = yf[LPAD:LPAD + H, LPAD:LPAD + W].astype(jnp.int32)
 
     outs = []
-    sm_c = [smem_pack(a) for a in (idx, kind, cm, mba)]
     for init_c, res_c in ((init_cb, res_cb), (init_cr, res_cr)):
         cp = _pad_plane(init_c)
         rcp = _pad_plane(res_c)
-        kern_c = functools.partial(_chroma_kernel, mb_w=mb_w, pmax=P)
         cf = pl.pallas_call(
-            kern_c,
+            functools.partial(_chroma_kernel, mb_w=mb_w),
             out_shape=jax.ShapeDtypeStruct(cp.shape, jnp.int16),
-            grid=(F,),
-            in_specs=[smem_spec(a) for a in sm_c] + [vmem, vmem],
+            grid=(mb_h,),
+            in_specs=[smem_spec(md_c), vmem, vmem],
             out_specs=vmem,
             scratch_shapes=[pltpu.VMEM((24, 256), jnp.int32),
                             pltpu.VMEM((24, 256), jnp.int32)],
-            input_output_aliases={4: 0},
             interpret=interp,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
-        )(*sm_c, cp, rcp)
+        )(md_c, cp, rcp)
         outs.append(cf[LPAD:LPAD + H // 2, LPAD:LPAD + W // 2]
                     .astype(jnp.int32))
     return y_out, outs[0], outs[1]

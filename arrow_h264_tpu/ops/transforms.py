@@ -56,7 +56,11 @@ def hadamard4_dev(c):
 def luma_dc_dequant_dev(c, qp, ls00_6):
     """Intra16x16 luma DC (spec 8.5.10). c [n,4,4], qp [n], ls00_6 [6] const."""
     f = hadamard4_dev(c)
-    ls = jnp.take(jnp.asarray(ls00_6), qp % 6)
+    # 6-way select instead of gather (gathers pessimize fused TPU graphs)
+    m = qp % 6
+    ls = jnp.broadcast_to(ls00_6[0], qp.shape)
+    for k in range(1, 6):
+        ls = jnp.where(m == k, ls00_6[k], ls)
     q6 = qp // 6
     hi = (f * ls[..., None, None]) << jnp.maximum(q6 - 6, 0)[..., None, None]
     lo = (f * ls[..., None, None] + (1 << jnp.maximum(5 - q6, 0))[..., None, None]) \
@@ -141,8 +145,27 @@ def _pcm_luma_blocks(pcm):
 
 
 def _gather_ls(table6, qp):
-    """table6 [6,k,k] const -> [n,k,k] gathered by qp%6 ([n])."""
-    return jnp.take(jnp.asarray(table6), qp % 6, axis=0)
+    """table6 [6,k,k] const -> [n,k,k] selected by qp%6 ([n]).
+
+    Implemented as a 6-term select chain, NOT a gather: on this platform a
+    single small gather coexisting with a large fused graph degrades the
+    whole executable by ~25x (see memory: mosaic-kernel-rules)."""
+    t = jnp.asarray(table6)
+    m = (qp % 6)[:, None, None]
+    out = jnp.broadcast_to(t[0], (qp.shape[0],) + t.shape[1:])
+    for k in range(1, 6):
+        out = jnp.where(m == k, t[k], out)
+    return out
+
+
+def _sel52(table, idx):
+    """52-entry const table -> [n] via run-length-compressed select chain."""
+    tl = [int(v) for v in np.asarray(table).tolist()]
+    out = jnp.full(idx.shape, tl[0], jnp.int32)
+    for k in range(1, 52):
+        if tl[k] != tl[k - 1]:
+            out = jnp.where(idx >= k, tl[k], out)
+    return out
 
 
 def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
@@ -183,13 +206,19 @@ def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
 
     # ---- chroma
     res_c = []
-    cqp_tab = jnp.asarray(_CQP)
     for pl in range(2):
-        qpc = jnp.take(cqp_tab, jnp.clip(qp + cqp_off[pl], 0, 51))
+        qpc = _sel52(_CQP, jnp.clip(qp + cqp_off[pl], 0, 51))
         ls_c = jnp.where(is_intra[:, None, None], _gather_ls(ws4[1 + pl], qpc),
                          _gather_ls(ws4[4 + pl], qpc))
-        ls00 = jnp.where(is_intra, jnp.take(jnp.asarray(ws4[1 + pl, :, 0, 0]), qpc % 6),
-                         jnp.take(jnp.asarray(ws4[4 + pl, :, 0, 0]), qpc % 6))
+
+        def sel6(tab6, m):
+            o = jnp.broadcast_to(tab6[0], m.shape)
+            for k in range(1, 6):
+                o = jnp.where(m == k, tab6[k], o)
+            return o
+
+        ls00 = jnp.where(is_intra, sel6(ws4[1 + pl, :, 0, 0], qpc % 6),
+                         sel6(ws4[4 + pl, :, 0, 0], qpc % 6))
         dcc = chroma_dc_dequant_dev(abi["chroma_dc"][:, pl], qpc, ls00)
         ac = abi["chroma_ac"][:, pl].reshape(-1, 4, 4, 4)
         dca = dequant4x4_dev(ac, qpc[:, None], ls_c[:, None])

@@ -20,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# big fused graphs (banded MC) compile slowly on XLA:CPU — cache them
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
