@@ -4,9 +4,13 @@ Reference parity: this is the device half of the JM-lineage
 `decode_one_macroblock` + `DeblockPicture` flow (SURVEY.md §3.2), as one
 jitted function over the frame's MB tensors:
 
-    residual (batched dequant+IDCT)  ->  intra wavefront  ->  deblock wavefront
+    residual (batched dequant+IDCT) -> inter MC -> intra -> deblock
 
-Compiled once per (resolution, scaling-list) configuration.
+Compiled once per (resolution, scaling-list, inter-mode) configuration.
+
+The DPB lives on device as PACKED u32 half-pel planes (4 px/lane — the
+layout the Pallas MC kernel consumes; see ops.pallas.mc_kernel).  The
+gather MC fallback unpacks views on the fly (a bitcast, not a copy).
 """
 
 from __future__ import annotations
@@ -22,11 +26,15 @@ import os
 from ..bitstream.params import PPS, SPS
 from ..ops.abi import KIND_P, FrameABI
 from ..ops.deblock import deblock_planes, deblock_tables
-from ..ops.inter import (MV_BAND, PAD, halfpel_planes, inter_predict,
-                         inter_predict_banded)
+from ..ops.inter import PAD, halfpel_planes, inter_predict, pad_chroma
 from ..ops.intra import intra_reconstruct
 from ..ops.pallas.deblock_kernel import deblock_pallas
 from ..ops.pallas.intra_kernel import intra_reconstruct_pallas
+from ..ops.pallas.mc_kernel import (
+    CAP, DX_MAX, DX_MIN, DY_MAX, DY_MIN, MAX_SLOTS, PADC, chroma_lanes,
+    chroma_rows,
+    inter_predict_pallas, luma_lanes, pack_u8_plane, unpack_u32_plane,
+)
 from ..ops.transforms import _mb_mask_to_plane, make_ws_consts, residual_planes
 
 
@@ -45,16 +53,24 @@ ABI_DEVICE_KEYS = (
 )
 
 
-def decode_frame_fn(abi: dict, dpb_y, dpb_cb, dpb_cr, *,
-                    mb_w: int, mb_h: int, ws4, ws8, cqp_off,
-                    pallas: bool | None = None, inter_mode: str = "banded"):
-    """Pure function: ABI dict + device DPB -> (y, cb, cr) uint8 planes.
+def dpb_alloc(mb_w: int, mb_h: int, n_slots: int):
+    """Packed device DPB: (y4p [S,4,Hp,WL] u32, cp [S,2,Hcp,WLc] u32)."""
+    H, W = mb_h * 16, mb_w * 16
+    return (jnp.zeros((n_slots, 4, H + 2 * PAD, luma_lanes(W)), jnp.uint32),
+            jnp.zeros((n_slots, 2, chroma_rows(H), chroma_lanes(W)),
+                      jnp.uint32))
 
-    dpb_y [S, 4, Hp, Wp]: (G, b, h, j) half-pel planes per slot.
-    pallas=None resolves by backend (TPU -> Pallas kernels).
-    inter_mode: "banded" (gather-free MC, |mv_int| <= MV_BAND), "gather"
-    (arbitrary MVs), or "none" (all-intra frame) — picked per frame by the
-    host (DevicePipeline.decode_frame)."""
+
+def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
+                    mb_w: int, mb_h: int, ws4, ws8, cqp_off,
+                    pallas: bool | None = None, inter_mode: str = "none"):
+    """Pure function: ABI dict + packed device DPB -> (y, cb, cr) uint8.
+
+    slot_list [MAX_SLOTS] i32: frame-level DPB-slot remap for the MC kernel
+    (-1 unused); ignored by "none"/"gather" modes.
+    inter_mode: "none" (all-intra), "pl0" (Pallas MC, list0 only),
+    "pl01" (Pallas MC, both lists), "gather" (fallback, arbitrary MVs) —
+    picked per frame by the host (DevicePipeline._select_inter_mode)."""
     if pallas is None:
         pallas = _use_pallas()
     res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8, cqp_off)
@@ -64,12 +80,16 @@ def decode_frame_fn(abi: dict, dpb_y, dpb_cb, dpb_cr, *,
         init_cb = jnp.zeros((H // 2, W // 2), jnp.int32)
         init_cr = init_cb
     else:
-        mc = inter_predict_banded if inter_mode == "banded" else inter_predict
-        pred_y, pred_cb, pred_cr = mc(abi, dpb_y, dpb_cb, dpb_cr, mb_w, mb_h)
-        # fusion fence: without it XLA re-fuses the banded MC select chain
-        # into downstream consumers and pessimizes it by ~two orders
-        pred_y, pred_cb, pred_cr = jax.lax.optimization_barrier(
-            (pred_y, pred_cb, pred_cr))
+        if inter_mode in ("pl0", "pl01"):
+            lists = (0,) if inter_mode == "pl0" else (0, 1)
+            pred_y, pred_cb, pred_cr = inter_predict_pallas(
+                abi, dpb_y4p, dpb_cp, slot_list, mb_w, mb_h, lists=lists)
+        else:
+            dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
+            dpb_c = unpack_u32_plane(
+                dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
+            pred_y, pred_cb, pred_cr = inter_predict(
+                abi, dpb_y4, dpb_c[:, 0], dpb_c[:, 1], mb_w, mb_h)
         inter_y = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 16)
         inter_c = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 8)
         init_y = jnp.where(inter_y, jnp.clip(pred_y + res_y, 0, 255), 0)
@@ -87,19 +107,20 @@ def decode_frame_fn(abi: dict, dpb_y, dpb_cb, dpb_cr, *,
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
-def store_ref_fn(dpb_y, dpb_cb, dpb_cr, slot, y, cb, cr):
-    """Compute half-pel planes, pad, and write into the DPB slot.
+def store_ref_fn(dpb_y4p, dpb_cp, slot, y, cb, cr):
+    """Compute half-pel planes, pad, pack to u32 lanes, write to the slot.
 
     Amortizes the 6-tap interpolation once per stored reference frame
     (SURVEY.md §7: MC gathers never touch the host OR recompute filters).
     """
+    WL = dpb_y4p.shape[3]
+    WLc = dpb_cp.shape[3]
     g, b, h, j = halfpel_planes(y)
-    y4 = jnp.stack([g, b, h, j])[None]                  # [1, 4, Hp, Wp]
-    cbp = jnp.pad(cb, PAD // 2, mode="edge")[None]
-    crp = jnp.pad(cr, PAD // 2, mode="edge")[None]
-    return (jax.lax.dynamic_update_slice(dpb_y, y4, (slot, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(dpb_cb, cbp, (slot, 0, 0)),
-            jax.lax.dynamic_update_slice(dpb_cr, crp, (slot, 0, 0)))
+    y4 = jnp.stack([pack_u8_plane(p, WL) for p in (g, b, h, j)])[None]
+    c2 = jnp.stack([pack_u8_plane(pad_chroma(c), WLc)
+                    for c in (cb, cr)])[None]
+    return (jax.lax.dynamic_update_slice(dpb_y4p, y4, (slot, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(dpb_cp, c2, (slot, 0, 0, 0)))
 
 
 class DevicePipeline:
@@ -108,7 +129,6 @@ class DevicePipeline:
     def __init__(self, sps: SPS, pps: PPS):
         self.sps, self.pps = sps, pps
         self.mb_w, self.mb_h = sps.pic_width_in_mbs, sps.pic_height_in_map_units
-        H, W = self.mb_h * 16, self.mb_w * 16
         sl4 = pps.scaling_lists_4x4 if pps.scaling_lists_4x4 is not None \
             else sps.scaling_lists_4x4
         sl8 = pps.scaling_lists_8x8 if pps.scaling_lists_8x8 is not None \
@@ -120,32 +140,58 @@ class DevicePipeline:
             cqp_off=(pps.chroma_qp_index_offset, pps.chroma_qp_offset(1)),
         )
         self._fns: dict = {}
-        self._store = jax.jit(store_ref_fn, donate_argnums=(0, 1, 2))
+        self._store = jax.jit(store_ref_fn, donate_argnums=(0, 1))
         self.n_slots = max(2, min(sps.max_num_ref_frames, 16) + 1)
-        self.dpb_y = jnp.zeros((self.n_slots, 4, H + 2 * PAD, W + 2 * PAD),
-                               jnp.uint8)
-        self.dpb_cb = jnp.zeros((self.n_slots, H // 2 + PAD, W // 2 + PAD),
-                                jnp.uint8)
-        self.dpb_cr = jnp.zeros_like(self.dpb_cb)
+        self.dpb_y4p, self.dpb_cp = dpb_alloc(self.mb_w, self.mb_h,
+                                              self.n_slots)
 
-    def _select_inter_mode(self, abi: FrameABI) -> str:
+    def _select_inter_mode(self, abi: FrameABI):
+        """Pick the per-frame MC variant + slot list (host-side numpy).
+
+        The Pallas path requires: MVs inside the kernel's slab window,
+        <= MAX_SLOTS distinct DPB slots, and <= CAP distinct
+        (slot, mv_int) candidates per 16-row band; else gather."""
+        slot_list = np.full(MAX_SLOTS, -1, np.int32)
         if not bool(np.any(np.asarray(abi["kind"]) >= KIND_P)):
-            return "none"
-        mv_int = np.asarray(abi["mv"]) >> 2
-        if mv_int.min(initial=0) >= -MV_BAND - 1 and \
-                mv_int.max(initial=0) <= MV_BAND:
-            return "banded"
-        return "gather"
+            return "none", slot_list
+        refslot = np.asarray(abi["refslot"])            # [n,4,4,2]
+        used = refslot >= 0
+        mv = np.where(used[..., None], np.asarray(abi["mv"]), 0)
+        dxi = mv[..., 0] >> 2
+        dyi = mv[..., 1] >> 2
+        lists = (0, 1) if used[..., 1].any() else (0,)
+        mode = "pl0" if lists == (0,) else "pl01"
+        slots = np.unique(refslot[used])
+        if (len(slots) > MAX_SLOTS or dxi.min() < DX_MIN or
+                dxi.max() > DX_MAX or dyi.min() < DY_MIN or
+                dyi.max() > DY_MAX):
+            return "gather", slot_list
+        slot_list[:len(slots)] = slots
+        # per-band distinct candidate check (both lists)
+        k = np.zeros_like(refslot)
+        for i in range(len(slots)):
+            k = np.where(refslot == slots[i], i, k)
+        cand = np.where(used, (k << 13) | ((dyi + 32) << 7) | (dxi + 48), -1)
+        n = self.mb_w * self.mb_h
+        per_band = cand.reshape(self.mb_h, self.mb_w * 16 * 2)
+        s = np.sort(per_band, axis=1)
+        prev = np.concatenate(
+            [np.full((self.mb_h, 1), -2, s.dtype), s[:, :-1]], axis=1)
+        uniq = ((s != prev) & (s >= 0)).sum(1)
+        if uniq.max(initial=0) > CAP:
+            return "gather", slot_list
+        return mode, slot_list
 
     def decode_frame(self, abi: FrameABI):
         dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
-        mode = self._select_inter_mode(abi)
+        mode, slot_list = self._select_inter_mode(abi)
         if mode not in self._fns:
             self._fns[mode] = jax.jit(
                 functools.partial(self._base, inter_mode=mode))
-        return self._fns[mode](dev, self.dpb_y, self.dpb_cb, self.dpb_cr)
+        return self._fns[mode](dev, self.dpb_y4p, self.dpb_cp,
+                               jnp.asarray(slot_list))
 
     def store_ref(self, slot: int, y, cb, cr) -> None:
-        self.dpb_y, self.dpb_cb, self.dpb_cr = self._store(
-            self.dpb_y, self.dpb_cb, self.dpb_cr, slot,
+        self.dpb_y4p, self.dpb_cp = self._store(
+            self.dpb_y4p, self.dpb_cp, slot,
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))

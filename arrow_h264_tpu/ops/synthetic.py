@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .abi import KIND_I4x4, KIND_I16, FrameABI
+from .abi import KIND_I4x4, KIND_I16, KIND_P, FrameABI
 
 
 def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
@@ -72,3 +72,38 @@ def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
                             mode = 2
                     abi["i4_modes"][a, r] = mode
     return abi
+
+
+def synthetic_abi_p(mb_w: int, mb_h: int, seed: int = 0, qp: int = 26,
+                    intra_frac: float = 0.05, n_slots: int = 2,
+                    n_mv: int = 24, bi_frac: float = 0.0) -> FrameABI:
+    """A P/B-realistic ABI: mostly inter MBs with a bounded MV palette
+    (respects the Pallas MC path's per-band candidate cap), sparse intra,
+    moderate residuals.  Models a typical 1080p P-frame workload."""
+    base = synthetic_abi(mb_w, mb_h, seed=seed, qp=qp)
+    rng = np.random.default_rng(seed + 1000)
+    n = mb_w * mb_h
+    inter = rng.random(n) >= intra_frac
+    base["kind"] = np.where(inter, KIND_P, base["kind"]).astype(np.int32)
+    # quarter-pel MV palette within the kernel envelope (int +-16)
+    palette = rng.integers(-64, 65, (n_mv, 2)).astype(np.int32)
+    mv_sel = rng.integers(0, n_mv, (n, 4, 4))
+    mv = palette[mv_sel]                           # [n,4,4,2]
+    base["mv"][..., 0, :] = mv
+    slot = rng.integers(0, n_slots, (n, 4, 4)).astype(np.int32)
+    im = inter[:, None, None]
+    base["refslot"][..., 0] = np.where(im, slot, -1)
+    base["refid"][..., 0] = np.where(im, slot, -1)
+    if bi_frac > 0:
+        bi = (rng.random((n, 4, 4)) < bi_frac) & im
+        base["mv"][..., 1, :] = palette[rng.integers(0, n_mv, (n, 4, 4))]
+        slot1 = rng.integers(0, n_slots, (n, 4, 4)).astype(np.int32)
+        base["refslot"][..., 1] = np.where(bi, slot1, -1)
+        base["refid"][..., 1] = np.where(bi, slot1, -1)
+    # sparse inter residuals (~2/3 of inter blocks are all-zero)
+    zero = rng.random((n, 16)) < 0.66
+    base["luma4"][inter] = np.where(zero[inter, :, None, None], 0,
+                                    base["luma4"][inter] // 2)
+    base["nz"] = (base["luma4"] != 0).any((2, 3)).reshape(n, 4, 4) \
+        .astype(np.int32)
+    return base

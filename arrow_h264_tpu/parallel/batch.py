@@ -3,7 +3,7 @@
 Reference parity: the reference decoder is single-stream (SURVEY.md §2);
 the TPU-native scale-out axis is DATA PARALLELISM over independent streams:
 host entropy parses each stream (embarrassingly parallel across host cores),
-frames are grouped into lockstep batches, and one jitted vmapped
+frames are grouped into lockstep batches, and one jitted sharded
 reconstruction step runs with the batch axis sharded over the `stream` mesh
 (ICI, no cross-chip collectives in the decode path).
 
@@ -33,6 +33,7 @@ class BatchDecoder:
             use = n_dev if n_streams % n_dev == 0 else 1
             mesh = Mesh(np.array(jax.devices()[:use]), ("stream",))
         self.mesh = mesh
+        self.n_streams = n_streams
         self.decoders = [Decoder(entropy=entropy) for _ in range(n_streams)]
         self._sharding = NamedSharding(mesh, P("stream"))
 
@@ -47,17 +48,20 @@ class BatchDecoder:
                 for d, s in zip(self.decoders, streams)]
 
 
-def decode_batch_lockstep(fn, abis: list[dict], dpbs, mesh: Mesh):
+def decode_batch_lockstep(fn, abis: list[dict], dpbs, slot_lists,
+                          mesh: Mesh):
     """One lockstep reconstruction step over a sharded stream batch.
 
-    fn: vmapped decode_frame_fn (models.pipeline / parallel.sharding).
-    abis: per-stream ABI dicts (same geometry); dpbs: per-stream DPB planes.
+    fn: sharded decode fn (parallel.sharding.sharded_decode_fn).
+    abis: per-stream ABI dicts (same geometry); dpbs: per-stream packed
+    DPB pairs (y4p, cp); slot_lists: per-stream [MAX_SLOTS] i32.
     """
     shard = NamedSharding(mesh, P("stream"))
     batch = {k: jax.device_put(jnp.stack([jnp.asarray(a[k]) for a in abis]),
                                shard)
              for k in ABI_DEVICE_KEYS}
     dpb_y = jax.device_put(jnp.stack([d[0] for d in dpbs]), shard)
-    dpb_cb = jax.device_put(jnp.stack([d[1] for d in dpbs]), shard)
-    dpb_cr = jax.device_put(jnp.stack([d[2] for d in dpbs]), shard)
-    return fn(batch, dpb_y, dpb_cb, dpb_cr)
+    dpb_c = jax.device_put(jnp.stack([d[1] for d in dpbs]), shard)
+    slots = jax.device_put(jnp.stack([jnp.asarray(s) for s in slot_lists]),
+                           shard)
+    return fn(batch, dpb_y, dpb_c, slots)

@@ -1,9 +1,12 @@
 """Multi-stream / multi-chip decode sharding (SURVEY.md §2 parallelism).
 
-The decode dataflow is embarrassingly parallel across streams: every kernel
-takes [B, ...] MB tensors, and the batch axis shards across chips via a 1-D
-`stream` mesh.  No cross-chip collectives exist in the decode path — the
-only transport is the host->HBM MB-tensor upload.
+The decode dataflow is embarrassingly parallel across streams: the stream
+batch shards across a 1-D `stream` mesh via shard_map; inside each shard
+the per-device streams run through the single-frame pipeline (a static
+python loop — the per-frame function contains Pallas kernels, which are
+compiled per device program, not vmapped).  No cross-chip collectives
+exist in the decode path — the only transport is the host->HBM MB-tensor
+upload.
 """
 
 from __future__ import annotations
@@ -12,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.pipeline import decode_frame_fn
@@ -19,22 +23,47 @@ from ..models.pipeline import decode_frame_fn
 
 def make_stream_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    import numpy as np
     return Mesh(np.array(devices), ("stream",))
 
 
-def batched_decode_fn(mb_w: int, mb_h: int, ws4, ws8, cqp_off):
-    """vmapped decode over (abi, dpb_y, dpb_cb, dpb_cr), batch = streams."""
+def batched_decode_fn(mb_w: int, mb_h: int, ws4, ws8, cqp_off,
+                      per_dev: int, inter_mode: str = "none"):
+    """Batched decode over stacked (abi, dpb_y4p, dpb_cp, slot_list).
+
+    per_dev: streams per device shard (static).  Returns a function over
+    batch-leading arrays of that size."""
     fn = functools.partial(decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
                            ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
-                           cqp_off=cqp_off)
-    return jax.vmap(fn)
+                           cqp_off=cqp_off, inter_mode=inter_mode)
+
+    def stacked(abi_b, dpb_y_b, dpb_c_b, slots_b):
+        outs = []
+        for i in range(per_dev):
+            abi_i = {k: v[i] for k, v in abi_b.items()}
+            outs.append(fn(abi_i, dpb_y_b[i], dpb_c_b[i], slots_b[i]))
+        return tuple(jnp.stack(o) for o in zip(*outs))
+
+    return stacked
 
 
 def sharded_decode_fn(mesh: Mesh, mb_w: int, mb_h: int, ws4, ws8,
-                      cqp_off=(0, 0)):
-    """jit the batched decode with the stream batch sharded over the mesh."""
-    fn = batched_decode_fn(mb_w, mb_h, ws4, ws8, cqp_off)
-    shard = NamedSharding(mesh, P("stream"))
-    return jax.jit(fn, in_shardings=(shard, shard, shard, shard),
-                   out_shardings=shard)
+                      cqp_off=(0, 0), n_streams: int | None = None,
+                      inter_mode: str = "none"):
+    """jit the batched decode with the stream batch sharded over the mesh.
+
+    n_streams must be a multiple of the mesh size (default: one per
+    device)."""
+    n_dev = mesh.devices.size
+    if n_streams is None:
+        n_streams = n_dev
+    assert n_streams % n_dev == 0, (n_streams, n_dev)
+    per_dev = n_streams // n_dev
+    fn = batched_decode_fn(mb_w, mb_h, ws4, ws8, cqp_off, per_dev,
+                           inter_mode)
+    spec = P("stream")
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; decode is DP-only so every output varies on "stream"
+    mapped = jax.shard_map(fn, mesh=mesh,
+                           in_specs=(spec, spec, spec, spec),
+                           out_specs=spec, check_vma=False)
+    return jax.jit(mapped)

@@ -25,13 +25,14 @@ def test_batch_decoder_streams(h264ref, tmp_path):
 
 
 def test_lockstep_sharded_step():
-    """Sharded lockstep reconstruction over the 8-device mesh."""
+    """Sharded lockstep reconstruction over the 8-device mesh (P-frames
+    through the Pallas MC path)."""
     from arrow_h264_tpu.parallel.batch import decode_batch_lockstep
     from arrow_h264_tpu.parallel.sharding import make_stream_mesh, \
         sharded_decode_fn
-    from arrow_h264_tpu.ops.synthetic import synthetic_abi
+    from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
     from arrow_h264_tpu.ops.transforms import make_ws_consts
-    from arrow_h264_tpu.ops.inter import PAD
+    from arrow_h264_tpu.models.pipeline import dpb_alloc, store_ref_fn
     import jax.numpy as jnp
 
     n = len(jax.devices())
@@ -40,21 +41,29 @@ def test_lockstep_sharded_step():
     mb_w, mb_h = 2, 2
     H, W = mb_h * 16, mb_w * 16
     ws4, ws8 = make_ws_consts([[16] * 16] * 6, [[16] * 64] * 2)
-    fn = sharded_decode_fn(mesh, mb_w, mb_h, ws4, ws8)
-    abis = [synthetic_abi(mb_w, mb_h, seed=i) for i in range(n)]
-    dpb = [(jnp.zeros((2, 4, H + 2 * PAD, W + 2 * PAD), jnp.uint8),
-            jnp.zeros((2, H // 2 + PAD, W // 2 + PAD), jnp.uint8),
-            jnp.zeros((2, H // 2 + PAD, W // 2 + PAD), jnp.uint8))
-           for _ in range(n)]
-    y, cb, cr = decode_batch_lockstep(fn, abis, dpb, mesh)
+    fn = sharded_decode_fn(mesh, mb_w, mb_h, ws4, ws8, inter_mode="pl0")
+    abis = [synthetic_abi_p(mb_w, mb_h, seed=i, n_mv=6) for i in range(n)]
+    rng = np.random.default_rng(5)
+    dpbs = []
+    for i in range(n):
+        dpb = dpb_alloc(mb_w, mb_h, 2)
+        for s in range(2):
+            dpb = store_ref_fn(
+                *dpb, s,
+                jnp.asarray(rng.integers(0, 256, (H, W), np.uint8)),
+                jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8)),
+                jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8)))
+        dpbs.append(dpb)
+    slots = [np.array([0, 1, -1, -1], np.int32)] * n
+    y, cb, cr = decode_batch_lockstep(fn, abis, dpbs, slots, mesh)
     assert y.shape == (n, H, W)
     # sharded result must equal per-stream unsharded decode
     from arrow_h264_tpu.models.pipeline import decode_frame_fn, ABI_DEVICE_KEYS
     import functools
     single = functools.partial(decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
                                ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
-                               cqp_off=(0, 0))
+                               cqp_off=(0, 0), inter_mode="pl0")
     for i in range(n):
         dev = {k: jnp.asarray(abis[i][k]) for k in ABI_DEVICE_KEYS}
-        ys, cbs, crs = single(dev, *dpb[i])
+        ys, cbs, crs = single(dev, *dpbs[i], jnp.asarray(slots[i]))
         assert np.array_equal(np.asarray(y[i]), np.asarray(ys)), f"stream {i}"

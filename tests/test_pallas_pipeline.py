@@ -6,8 +6,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from arrow_h264_tpu.models.pipeline import decode_frame_fn, ABI_DEVICE_KEYS
-from arrow_h264_tpu.ops.inter import PAD
+from arrow_h264_tpu.models.pipeline import (
+    decode_frame_fn, dpb_alloc, ABI_DEVICE_KEYS,
+)
 from arrow_h264_tpu.ops.transforms import make_ws_consts
 from arrow_h264_tpu.bitstream import nal
 from arrow_h264_tpu.bitstream.bits import BitReader
@@ -17,10 +18,8 @@ from tools import streams
 
 
 def _dpb_dummy(mb_w, mb_h):
-    H, W = mb_h * 16, mb_w * 16
-    return (jnp.zeros((2, 4, H + 2 * PAD, W + 2 * PAD), jnp.uint8),
-            jnp.zeros((2, H // 2 + PAD, W // 2 + PAD), jnp.uint8),
-            jnp.zeros((2, H // 2 + PAD, W // 2 + PAD), jnp.uint8))
+    slots = jnp.asarray(np.array([0, 1, -1, -1], np.int32))
+    return (*dpb_alloc(mb_w, mb_h, 2), slots)
 
 
 def test_pallas_pipeline_matches_xla(h264ref, tmp_path):
