@@ -22,7 +22,7 @@ from .bitstream.params import parse_sps
 
 def _cmd_decode(args: argparse.Namespace) -> int:
     data = open(args.input, "rb").read()
-    dec = Decoder(entropy=args.entropy)
+    dec = Decoder(entropy=args.entropy, trace=args.trace)
     n = 0
     w = h = 0
     t0 = time.perf_counter()
@@ -88,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("output")
     d.add_argument("--ref", help="reference YUV to compare bit-exactly")
     d.add_argument("--entropy", choices=("cpp", "python"), default="cpp")
+    d.add_argument("--trace", help="write per-slice/per-MB JSONL decode trace")
     d.set_defaults(fn=_cmd_decode)
     i = sub.add_parser("info", help="print stream structure")
     i.add_argument("input")

@@ -29,6 +29,7 @@ from .mb.parse import PictureParse
 from .models.pipeline import DevicePipeline
 from .oracle.decoder import crop_planes
 from .ops.abi import pack_frame
+from .trace import trace_frame_abi, trace_slice_header, trace_target
 
 
 @dataclass
@@ -58,7 +59,9 @@ class Decoder:
     component); "python" uses the pure-Python differential oracle parser.
     """
 
-    def __init__(self, entropy: str = "cpp") -> None:
+    def __init__(self, entropy: str = "cpp", trace=None) -> None:
+        self._trace = trace_target(trace)
+        self._frame_idx = 0
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self._pipelines: dict[tuple, DevicePipeline] = {}
@@ -81,6 +84,21 @@ class Decoder:
 
     def decode_annexb(self, data: bytes):
         """Yield Frames in output order."""
+        for pic, poc in self.parse_pictures(data):
+            yield from self._finish(pic, poc)
+        if self.dpb is not None:
+            for planes in self.dpb.flush():
+                yield self._emit(planes)
+
+    def parse_pictures(self, data: bytes):
+        """Yield (PictureParse, poc) per complete coded picture.
+
+        The generator suspends after each picture and before the next
+        picture's reference-list construction, so the caller MUST store
+        the decoded picture into self.dpb (via _finish or equivalent)
+        before resuming — this is what lets the batched lockstep driver
+        interleave host parse with batched device reconstruction.
+        """
         cur: PictureParse | None = None
         cur_poc = 0
         for u in nal.parse_annexb(data):
@@ -91,7 +109,8 @@ class Decoder:
                 p = parse_pps(u.rbsp, self.sps_map)
                 self.pps_map[p.pic_parameter_set_id] = p
             elif u.nal_unit_type == nal.NAL_SEI:
-                self.sei_messages.extend(parse_sei_rbsp(u.rbsp))
+                sps0 = next(iter(self.sps_map.values()), None)
+                self.sei_messages.extend(parse_sei_rbsp(u.rbsp, sps0))
             elif u.is_slice:
                 r2 = BitReader(u.rbsp)
                 r2.ue()
@@ -103,7 +122,7 @@ class Decoder:
                                          u.nal_ref_idc)
                 if hdr.first_mb_in_slice == 0:
                     if cur is not None:
-                        yield from self._finish(cur, cur_poc)
+                        yield cur, cur_poc
                     if self.dpb is None or self._dpb_sps_id != \
                             sps.seq_parameter_set_id:
                         self.dpb = DPB(sps)
@@ -111,6 +130,11 @@ class Decoder:
                     cur = (centropy.CppPictureParse(sps, pps)
                            if self.entropy == "cpp"
                            else PictureParse(sps, pps))
+                    # spec 8.2.5.2: synthesize non-existing refs for
+                    # frame_num gaps; bind them to slot 0 so a (non-
+                    # conforming) reference to one stays in bounds.
+                    for gp in self.dpb.fill_frame_num_gaps(hdr):
+                        gp.slot = 0
                     cur_poc = self.dpb.compute_poc(hdr)
                 if cur is None:
                     raise ValueError("slice without picture start")
@@ -119,20 +143,33 @@ class Decoder:
                     reflists = (self.dpb.init_list_p(hdr), ())
                 elif hdr.is_b:
                     reflists = self.dpb.init_lists_b(hdr, cur_poc)
+                if self._trace is not None:
+                    trace_slice_header(self._trace, hdr, cur_poc,
+                                       self._frame_idx)
                 cur.parse_slice(r, hdr, reflists, cur_poc)
         if cur is not None:
-            yield from self._finish(cur, cur_poc)
-        if self.dpb is not None:
-            for planes in self.dpb.flush():
-                yield self._emit(planes)
+            yield cur, cur_poc
 
-    def _finish(self, pic, poc: int):
+    def pack_abi(self, pic, poc: int):
+        """Entropy results -> frame ABI (+ optional JSONL trace)."""
         if self.entropy == "cpp":
             abi = centropy.pack_frame_cpp(pic, poc)
         else:
             abi = pack_frame(pic, poc)
-        pipeline = self._pipeline(pic.sps, pic.pps)
-        y, cb, cr = pipeline.decode_frame(abi)   # device arrays
+        if self._trace is not None:
+            trace_frame_abi(self._trace, abi, pic.sps.pic_width_in_mbs,
+                            pic.sps.pic_height_in_map_units,
+                            self._frame_idx)
+            self._trace.flush()
+        self._frame_idx += 1
+        return abi
+
+    def commit(self, pic, poc: int, y, cb, cr, n_slots: int, store_ref):
+        """DPB store + ref bookkeeping; yields output Frames.
+
+        store_ref(slot, y, cb, cr): writes the picture into the device
+        DPB slot (single-stream: pipeline.store_ref; batched: the
+        stream's lane of the sharded store)."""
         hdr = pic.headers[0]
         host = (np.asarray(y), np.asarray(cb), np.asarray(cr), pic.sps)
         outputs, stored = self.dpb.store(host, hdr, poc)
@@ -141,11 +178,18 @@ class Decoder:
                 pic.build_col_motion()
             used = {p.slot for p in self.dpb.pics
                     if p.is_ref and p is not stored and p.slot >= 0}
-            slot = next(s for s in range(pipeline.n_slots) if s not in used)
+            slot = next(s for s in range(n_slots) if s not in used)
             stored.slot = slot
-            pipeline.store_ref(slot, y, cb, cr)
+            store_ref(slot, y, cb, cr)
         for planes in outputs:
             yield self._emit(planes)
+
+    def _finish(self, pic, poc: int):
+        abi = self.pack_abi(pic, poc)
+        pipeline = self._pipeline(pic.sps, pic.pps)
+        y, cb, cr = pipeline.decode_frame(abi)   # device arrays
+        yield from self.commit(pic, poc, y, cb, cr, pipeline.n_slots,
+                               pipeline.store_ref)
 
     @staticmethod
     def _emit(planes) -> Frame:

@@ -110,6 +110,7 @@ class SPS:
     crop_top: int = 0
     crop_bottom: int = 0
     vui_parameters_present_flag: int = 0
+    vui: "VUI | None" = None
 
     @property
     def width(self) -> int:
@@ -174,8 +175,130 @@ def parse_sps(rbsp: bytes) -> SPS:
         s.crop_top = r.ue()
         s.crop_bottom = r.ue()
     s.vui_parameters_present_flag = r.u1()
-    # VUI carries no decoding-process-relevant state for YUV output; skip rest.
+    # VUI affects no decoded sample values, but its HRD lengths gate SEI
+    # pic_timing field parsing (spec D.2.3), so parse it when present.
+    if s.vui_parameters_present_flag:
+        try:
+            s.vui = parse_vui(r)
+        except Exception:
+            s.vui = None  # tolerate malformed VUI; decode is unaffected
     return s
+
+
+@dataclass
+class HRD:
+    """hrd_parameters() (spec E.1.2)."""
+    cpb_cnt: int = 1
+    bit_rate_scale: int = 0
+    cpb_size_scale: int = 0
+    bit_rate_value: list = field(default_factory=list)
+    cpb_size_value: list = field(default_factory=list)
+    cbr_flag: list = field(default_factory=list)
+    initial_cpb_removal_delay_length: int = 24
+    cpb_removal_delay_length: int = 24
+    dpb_output_delay_length: int = 24
+    time_offset_length: int = 24
+
+
+@dataclass
+class VUI:
+    """vui_parameters() (spec E.1.1) — display/timing metadata."""
+    aspect_ratio_idc: int = 0
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan_appropriate_flag: int = -1
+    video_format: int = 5
+    video_full_range_flag: int = 0
+    colour_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coefficients: int = 2
+    chroma_sample_loc_type_top_field: int = 0
+    chroma_sample_loc_type_bottom_field: int = 0
+    timing_info_present_flag: int = 0
+    num_units_in_tick: int = 0
+    time_scale: int = 0
+    fixed_frame_rate_flag: int = 0
+    nal_hrd: HRD | None = None
+    vcl_hrd: HRD | None = None
+    low_delay_hrd_flag: int = 0
+    pic_struct_present_flag: int = 0
+    bitstream_restriction_flag: int = 0
+    motion_vectors_over_pic_boundaries_flag: int = 1
+    max_bytes_per_pic_denom: int = 2
+    max_bits_per_mb_denom: int = 1
+    log2_max_mv_length_horizontal: int = 15
+    log2_max_mv_length_vertical: int = 15
+    max_num_reorder_frames: int = -1
+    max_dec_frame_buffering: int = -1
+
+    @property
+    def cpb_dpb_delays_present(self) -> bool:
+        return self.nal_hrd is not None or self.vcl_hrd is not None
+
+    @property
+    def fps(self) -> float | None:
+        if self.timing_info_present_flag and self.num_units_in_tick:
+            return self.time_scale / (2.0 * self.num_units_in_tick)
+        return None
+
+
+def _parse_hrd(r: BitReader) -> HRD:
+    h = HRD()
+    h.cpb_cnt = r.ue() + 1
+    h.bit_rate_scale = r.u(4)
+    h.cpb_size_scale = r.u(4)
+    for _ in range(h.cpb_cnt):
+        h.bit_rate_value.append(r.ue() + 1)
+        h.cpb_size_value.append(r.ue() + 1)
+        h.cbr_flag.append(r.u1())
+    h.initial_cpb_removal_delay_length = r.u(5) + 1
+    h.cpb_removal_delay_length = r.u(5) + 1
+    h.dpb_output_delay_length = r.u(5) + 1
+    h.time_offset_length = r.u(5)
+    return h
+
+
+def parse_vui(r: BitReader) -> VUI:
+    v = VUI()
+    if r.u1():                           # aspect_ratio_info_present
+        v.aspect_ratio_idc = r.u(8)
+        if v.aspect_ratio_idc == 255:    # Extended_SAR
+            v.sar_width = r.u(16)
+            v.sar_height = r.u(16)
+    if r.u1():                           # overscan_info_present
+        v.overscan_appropriate_flag = r.u1()
+    if r.u1():                           # video_signal_type_present
+        v.video_format = r.u(3)
+        v.video_full_range_flag = r.u1()
+        if r.u1():                       # colour_description_present
+            v.colour_primaries = r.u(8)
+            v.transfer_characteristics = r.u(8)
+            v.matrix_coefficients = r.u(8)
+    if r.u1():                           # chroma_loc_info_present
+        v.chroma_sample_loc_type_top_field = r.ue()
+        v.chroma_sample_loc_type_bottom_field = r.ue()
+    v.timing_info_present_flag = r.u1()
+    if v.timing_info_present_flag:
+        v.num_units_in_tick = r.u(32)
+        v.time_scale = r.u(32)
+        v.fixed_frame_rate_flag = r.u1()
+    if r.u1():                           # nal_hrd_parameters_present
+        v.nal_hrd = _parse_hrd(r)
+    if r.u1():                           # vcl_hrd_parameters_present
+        v.vcl_hrd = _parse_hrd(r)
+    if v.cpb_dpb_delays_present:
+        v.low_delay_hrd_flag = r.u1()
+    v.pic_struct_present_flag = r.u1()
+    v.bitstream_restriction_flag = r.u1()
+    if v.bitstream_restriction_flag:
+        v.motion_vectors_over_pic_boundaries_flag = r.u1()
+        v.max_bytes_per_pic_denom = r.ue()
+        v.max_bits_per_mb_denom = r.ue()
+        v.log2_max_mv_length_horizontal = r.ue()
+        v.log2_max_mv_length_vertical = r.ue()
+        v.max_num_reorder_frames = r.ue()
+        v.max_dec_frame_buffering = r.ue()
+    return v
 
 
 def _apply_sps_scaling(s: SPS, r: BitReader, n_lists: int) -> None:

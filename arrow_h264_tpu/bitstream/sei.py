@@ -40,10 +40,77 @@ def _parse_recovery_point(payload: bytes) -> dict:
 
 
 def _parse_buffering_period(payload: bytes, sps=None) -> dict:
-    # Needs HRD parameters from the active SPS VUI to size the CPB fields;
-    # without them only seq_parameter_set_id is decodable (spec D.2.2).
+    """spec D.2.2: CPB field widths come from the active SPS VUI HRD."""
     r = BitReader(payload)
     out = {"seq_parameter_set_id": r.ue()}
+    vui = getattr(sps, "vui", None) if sps is not None else None
+    if vui is not None:
+        for name, hrd in (("nal", vui.nal_hrd), ("vcl", vui.vcl_hrd)):
+            if hrd is None:
+                continue
+            n = hrd.initial_cpb_removal_delay_length
+            out[name] = [
+                {"initial_cpb_removal_delay": r.u(n),
+                 "initial_cpb_removal_delay_offset": r.u(n)}
+                for _ in range(hrd.cpb_cnt)]
+    return out
+
+
+# NumClockTS per pic_struct (spec Table D-1)
+_NUM_CLOCK_TS = [1, 1, 1, 2, 2, 3, 3, 2, 3]
+
+
+def _parse_pic_timing(payload: bytes, sps=None) -> dict:
+    """spec D.2.3: pic_timing fields (delays + pic_struct + timestamps).
+
+    Field presence/widths are gated by the active SPS VUI (JM-lineage
+    sei.c row in SURVEY.md §2)."""
+    vui = getattr(sps, "vui", None) if sps is not None else None
+    if vui is None:
+        return {}
+    r = BitReader(payload)
+    out: dict = {}
+    if vui.cpb_dpb_delays_present:
+        hrd = vui.nal_hrd if vui.nal_hrd is not None else vui.vcl_hrd
+        out["cpb_removal_delay"] = r.u(hrd.cpb_removal_delay_length)
+        out["dpb_output_delay"] = r.u(hrd.dpb_output_delay_length)
+    if vui.pic_struct_present_flag:
+        ps = r.u(4)
+        out["pic_struct"] = ps
+        nts = _NUM_CLOCK_TS[ps] if ps < len(_NUM_CLOCK_TS) else 0
+        tss = []
+        for _ in range(nts):
+            if not r.u1():               # clock_timestamp_flag
+                tss.append(None)
+                continue
+            ts = {
+                "ct_type": r.u(2),
+                "nuit_field_based_flag": r.u1(),
+                "counting_type": r.u(5),
+            }
+            full = r.u1()
+            ts["discontinuity_flag"] = r.u1()
+            ts["cnt_dropped_flag"] = r.u1()
+            ts["n_frames"] = r.u(8)
+            if full:
+                ts["seconds"] = r.u(6)
+                ts["minutes"] = r.u(6)
+                ts["hours"] = r.u(5)
+            else:
+                ts["seconds"] = ts["minutes"] = ts["hours"] = 0
+                if r.u1():
+                    ts["seconds"] = r.u(6)
+                    if r.u1():
+                        ts["minutes"] = r.u(6)
+                        if r.u1():
+                            ts["hours"] = r.u(5)
+            tol = 24
+            if vui.cpb_dpb_delays_present:
+                hrd = vui.nal_hrd if vui.nal_hrd is not None else vui.vcl_hrd
+                tol = hrd.time_offset_length
+            ts["time_offset"] = r.u(tol) if tol else 0
+            tss.append(ts)
+        out["clock_timestamps"] = tss
     return out
 
 
@@ -52,14 +119,18 @@ def _parse_user_data_unregistered(payload: bytes) -> dict:
 
 
 _PARSERS = {
-    SEI_RECOVERY_POINT: _parse_recovery_point,
+    SEI_RECOVERY_POINT: lambda p, sps=None: _parse_recovery_point(p),
     SEI_BUFFERING_PERIOD: _parse_buffering_period,
-    SEI_USER_DATA_UNREGISTERED: _parse_user_data_unregistered,
+    SEI_PIC_TIMING: _parse_pic_timing,
+    SEI_USER_DATA_UNREGISTERED:
+        lambda p, sps=None: _parse_user_data_unregistered(p),
 }
 
 
-def parse_sei_rbsp(rbsp: bytes) -> list[SEIMessage]:
-    """Parse all sei_message() in one SEI RBSP (spec 7.3.2.3/7.3.2.3.1)."""
+def parse_sei_rbsp(rbsp: bytes, sps=None) -> list[SEIMessage]:
+    """Parse all sei_message() in one SEI RBSP (spec 7.3.2.3/7.3.2.3.1).
+
+    `sps`: the active SPS (for VUI-gated payload field widths)."""
     msgs: list[SEIMessage] = []
     i = 0
     n = len(rbsp)
@@ -88,7 +159,7 @@ def parse_sei_rbsp(rbsp: bytes) -> list[SEIMessage]:
         parser = _PARSERS.get(ptype)
         if parser is not None and len(payload) == psize:
             try:
-                fields = parser(payload)
+                fields = parser(payload, sps)
             except Exception:
                 fields = {}  # malformed payload: keep raw bytes only
         msgs.append(SEIMessage(ptype, payload, fields))

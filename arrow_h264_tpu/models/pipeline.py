@@ -28,7 +28,7 @@ from ..ops.abi import KIND_P, FrameABI
 from ..ops.deblock import deblock_planes, deblock_tables
 from ..ops.inter import PAD, halfpel_planes, inter_predict, pad_chroma
 from ..ops.intra import intra_reconstruct
-from ..ops.pallas.deblock_kernel import deblock_pallas
+from ..ops.pallas.deblock_phase import deblock_phase_batch
 from ..ops.pallas.intra_kernel import intra_reconstruct_pallas
 from ..ops.pallas.mc_kernel import (
     CAP, DX_MAX, DX_MIN, DY_MAX, DY_MIN, MAX_SLOTS, PADC, chroma_lanes,
@@ -99,7 +99,10 @@ def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
         y, cb, cr = intra_reconstruct_pallas(
             abi, res_y, res_cb, res_cr, init_y, init_cb, init_cr, mb_w, mb_h)
         tables = deblock_tables(abi, mb_w, mb_h, cqp_off)
-        y, cb, cr = deblock_pallas(y, cb, cr, tables, mb_w, mb_h)
+        tb = {k: v[None] for k, v in tables.items()}
+        yb, cbb, crb = deblock_phase_batch(y[None], cb[None], cr[None],
+                                           tb, mb_w, mb_h)
+        y, cb, cr = yb[0], cbb[0], crb[0]
     else:
         y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
                                       init_y, init_cb, init_cr)
@@ -121,6 +124,44 @@ def store_ref_fn(dpb_y4p, dpb_cp, slot, y, cb, cr):
                     for c in (cb, cr)])[None]
     return (jax.lax.dynamic_update_slice(dpb_y4p, y4, (slot, 0, 0, 0)),
             jax.lax.dynamic_update_slice(dpb_cp, c2, (slot, 0, 0, 0)))
+
+
+def select_inter_mode(abi: FrameABI, mb_w: int, mb_h: int):
+    """Pick the per-frame MC variant + slot list (host-side numpy).
+
+    The Pallas path requires: MVs inside the kernel's slab window,
+    <= MAX_SLOTS distinct DPB slots, and <= CAP distinct
+    (slot, mv_int) candidates per 16-row band; else gather."""
+    slot_list = np.full(MAX_SLOTS, -1, np.int32)
+    if not bool(np.any(np.asarray(abi["kind"]) >= KIND_P)):
+        return "none", slot_list
+    refslot = np.asarray(abi["refslot"])        # [n,4,4,2]
+    used = refslot >= 0
+    mv = np.where(used[..., None], np.asarray(abi["mv"]), 0)
+    dxi = mv[..., 0] >> 2
+    dyi = mv[..., 1] >> 2
+    lists = (0, 1) if used[..., 1].any() else (0,)
+    mode = "pl0" if lists == (0,) else "pl01"
+    slots = np.unique(refslot[used])
+    if (len(slots) > MAX_SLOTS or dxi.min() < DX_MIN or
+        dxi.max() > DX_MAX or dyi.min() < DY_MIN or
+        dyi.max() > DY_MAX):
+        return "gather", slot_list
+    slot_list[:len(slots)] = slots
+    # per-band distinct candidate check (both lists)
+    k = np.zeros_like(refslot)
+    for i in range(len(slots)):
+        k = np.where(refslot == slots[i], i, k)
+    cand = np.where(used, (k << 13) | ((dyi + 32) << 7) | (dxi + 48), -1)
+    n = mb_w * mb_h
+    per_band = cand.reshape(mb_h, mb_w * 16 * 2)
+    s = np.sort(per_band, axis=1)
+    prev = np.concatenate(
+        [np.full((mb_h, 1), -2, s.dtype), s[:, :-1]], axis=1)
+    uniq = ((s != prev) & (s >= 0)).sum(1)
+    if uniq.max(initial=0) > CAP:
+        return "gather", slot_list
+    return mode, slot_list
 
 
 class DevicePipeline:
@@ -146,41 +187,7 @@ class DevicePipeline:
                                               self.n_slots)
 
     def _select_inter_mode(self, abi: FrameABI):
-        """Pick the per-frame MC variant + slot list (host-side numpy).
-
-        The Pallas path requires: MVs inside the kernel's slab window,
-        <= MAX_SLOTS distinct DPB slots, and <= CAP distinct
-        (slot, mv_int) candidates per 16-row band; else gather."""
-        slot_list = np.full(MAX_SLOTS, -1, np.int32)
-        if not bool(np.any(np.asarray(abi["kind"]) >= KIND_P)):
-            return "none", slot_list
-        refslot = np.asarray(abi["refslot"])            # [n,4,4,2]
-        used = refslot >= 0
-        mv = np.where(used[..., None], np.asarray(abi["mv"]), 0)
-        dxi = mv[..., 0] >> 2
-        dyi = mv[..., 1] >> 2
-        lists = (0, 1) if used[..., 1].any() else (0,)
-        mode = "pl0" if lists == (0,) else "pl01"
-        slots = np.unique(refslot[used])
-        if (len(slots) > MAX_SLOTS or dxi.min() < DX_MIN or
-                dxi.max() > DX_MAX or dyi.min() < DY_MIN or
-                dyi.max() > DY_MAX):
-            return "gather", slot_list
-        slot_list[:len(slots)] = slots
-        # per-band distinct candidate check (both lists)
-        k = np.zeros_like(refslot)
-        for i in range(len(slots)):
-            k = np.where(refslot == slots[i], i, k)
-        cand = np.where(used, (k << 13) | ((dyi + 32) << 7) | (dxi + 48), -1)
-        n = self.mb_w * self.mb_h
-        per_band = cand.reshape(self.mb_h, self.mb_w * 16 * 2)
-        s = np.sort(per_band, axis=1)
-        prev = np.concatenate(
-            [np.full((self.mb_h, 1), -2, s.dtype), s[:, :-1]], axis=1)
-        uniq = ((s != prev) & (s >= 0)).sum(1)
-        if uniq.max(initial=0) > CAP:
-            return "gather", slot_list
-        return mode, slot_list
+        return select_inter_mode(abi, self.mb_w, self.mb_h)
 
     def decode_frame(self, abi: FrameABI):
         dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}

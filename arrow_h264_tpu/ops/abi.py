@@ -77,8 +77,9 @@ class FrameABI(dict):
         return self["kind"].shape[0]
 
 
-def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
-    mb_w, mb_h = pic.mb_w, pic.mb_h
+def empty_frame_abi(mb_w: int, mb_h: int) -> FrameABI:
+    """All-intra-DC zero template (also the lockstep batch's dummy lane
+    for finished/failed streams)."""
     n = mb_w * mb_h
     abi = FrameABI(
         kind=np.zeros(n, np.int32),
@@ -110,6 +111,13 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
         mb_w=mb_w, mb_h=mb_h,
     )
     abi["wp"][..., 0] = 1  # identity weights by default
+    return abi
+
+
+def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
+    abi = empty_frame_abi(pic.mb_w, pic.mb_h)
+    mb_w, mb_h = pic.mb_w, pic.mb_h
+    n = mb_w * mb_h
 
     def mb_avail_intra(nb_x, nb_y, cur) -> bool:
         if nb_x < 0 or nb_y < 0 or nb_x >= mb_w or nb_y >= mb_h:

@@ -67,3 +67,26 @@ def sharded_decode_fn(mesh: Mesh, mb_w: int, mb_h: int, ws4, ws8,
                            in_specs=(spec, spec, spec, spec),
                            out_specs=spec, check_vma=False)
     return jax.jit(mapped)
+
+
+def sharded_store_fn(mesh: Mesh, n_streams: int | None = None):
+    """jit the batched reference store (per-stream DPB slot write) with the
+    stream batch sharded over the mesh.  Streams that must not store pass
+    the trash slot (n_slots - 1 of the over-allocated batch DPB)."""
+    from ..models.pipeline import store_ref_fn
+    n_dev = mesh.devices.size
+    if n_streams is None:
+        n_streams = n_dev
+    assert n_streams % n_dev == 0, (n_streams, n_dev)
+    per_dev = n_streams // n_dev
+
+    def stacked(dpb_y_b, dpb_c_b, slot_b, y_b, cb_b, cr_b):
+        outs = [store_ref_fn(dpb_y_b[i], dpb_c_b[i], slot_b[i],
+                             y_b[i], cb_b[i], cr_b[i])
+                for i in range(per_dev)]
+        return tuple(jnp.stack(o) for o in zip(*outs))
+
+    spec = P("stream")
+    mapped = jax.shard_map(stacked, mesh=mesh, in_specs=(spec,) * 6,
+                           out_specs=(spec, spec), check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))

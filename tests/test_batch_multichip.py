@@ -7,21 +7,50 @@ import pytest
 from tools import streams
 
 
-def test_batch_decoder_streams(h264ref, tmp_path):
-    """N independent streams through BatchDecoder, bit-exact each."""
-    from arrow_h264_tpu.parallel.batch import BatchDecoder
+def _make_streams(tmp_path, n, w=64, h=64, frames=3):
     paths = []
-    for i in range(3):
-        yuv = streams.make_content(176, 144, 3, seed=100 + i)
+    for i in range(n):
+        yuv = streams.make_content(w, h, frames, seed=100 + i)
         p = str(tmp_path / f"s{i}.264")
-        streams.encode(yuv, 176, 144, p, streams.CONFIG_OPTS[2])
+        streams.encode(yuv, w, h, p, streams.CONFIG_OPTS[2])
         paths.append(p)
     datas = [open(p, "rb").read() for p in paths]
     goldens = [streams.golden_decode(p)[0] for p in paths]
-    outs = BatchDecoder(3).decode(datas)
+    return datas, goldens
+
+
+def test_batch_decoder_streams(h264ref, tmp_path):
+    """Real streams through the LOCKSTEP SHARDED path (8-device mesh),
+    bit-exact each (BASELINE config 5)."""
+    from arrow_h264_tpu.parallel.batch import BatchDecoder
+    n = len(jax.devices())
+    datas, goldens = _make_streams(tmp_path, n)
+    bd = BatchDecoder(n)
+    assert bd.mesh.devices.size == n, "must exercise the full mesh"
+    outs = bd.decode(datas)
+    assert all(e is None for e in bd.errors), bd.errors
     for i, (frames, golden) in enumerate(zip(outs, goldens)):
         ours = np.stack([np.frombuffer(f.planar(), np.uint8) for f in frames])
         assert np.array_equal(ours, golden), f"stream {i} mismatch"
+
+
+def test_batch_decoder_error_isolation(h264ref, tmp_path):
+    """A corrupt lane is flagged, not fatal (SURVEY.md §5)."""
+    from arrow_h264_tpu.parallel.batch import BatchDecoder
+    n = len(jax.devices())
+    datas, goldens = _make_streams(tmp_path, n)
+    bad = 2
+    datas[bad] = datas[bad][:len(datas[bad]) // 2] + b"\x00\x17" * 40
+    bd = BatchDecoder(n)
+    outs = bd.decode(datas)
+    assert bd.errors[bad] is not None
+    for i in range(n):
+        if i == bad:
+            continue
+        assert bd.errors[i] is None, (i, bd.errors[i])
+        ours = np.stack([np.frombuffer(f.planar(), np.uint8)
+                         for f in outs[i]])
+        assert np.array_equal(ours, goldens[i]), f"stream {i} mismatch"
 
 
 def test_lockstep_sharded_step():

@@ -56,3 +56,26 @@ def test_cli_decode_matches_golden(h264ref, tmp_path):
                  "--entropy", "python"]) == 0
     assert open(out, "rb").read() == golden.tobytes()
     assert main(["info", path]) == 0
+
+
+def test_decode_trace_jsonl(h264ref, tmp_path):
+    """JSONL decode trace (JM TRACE analog, SURVEY.md §5)."""
+    import json
+    from tools import streams
+    from arrow_h264_tpu.api import Decoder
+
+    w, h = 64, 64
+    yuv = streams.make_content(w, h, 2, seed=9)
+    path = str(tmp_path / "t.264")
+    streams.encode(yuv, w, h, path, streams.CONFIG_OPTS[2])
+    tpath = tmp_path / "trace.jsonl"
+    dec = Decoder(trace=str(tpath))
+    list(dec.decode_annexb(open(path, "rb").read()))
+    recs = [json.loads(l) for l in open(tpath)]
+    slices = [r for r in recs if r["t"] == "slice"]
+    mbs = [r for r in recs if r["t"] == "mb"]
+    assert len(slices) >= 2
+    assert len(mbs) == 2 * (w // 16) * (h // 16)
+    assert all("kind" in r and "qp" in r for r in mbs)
+    # P-frame MBs carry motion info
+    assert any("mv" in r for r in mbs if r["frame"] == 1)
