@@ -42,25 +42,27 @@ def ebsp_to_rbsp(ebsp: bytes) -> bytes:
     """Remove emulation_prevention_three_byte (spec 7.4.1.1).
 
     0x00 0x00 0x03 followed by 0x00/0x01/0x02/0x03 -> drop the 0x03.
+    Vectorized: candidate 0x03 positions come from a numpy scan; overlap
+    chains (00 00 03 00 03 ...) are resolved left-to-right over the few
+    candidates only.
     """
     if b"\x00\x00\x03" not in ebsp:
         return ebsp
-    out = bytearray()
-    zeros = 0
-    i = 0
-    n = len(ebsp)
-    while i < n:
-        b = ebsp[i]
-        if zeros >= 2 and b == 3 and i + 1 <= n:
-            nxt = ebsp[i + 1] if i + 1 < n else None
-            if nxt is None or nxt <= 3:
-                zeros = 0
-                i += 1
-                continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    return bytes(out)
+    import numpy as np
+    a = np.frombuffer(ebsp, np.uint8)
+    n = len(a)
+    is3 = a == 3
+    z1 = np.concatenate([[False], a[:-1] == 0])
+    z2 = np.concatenate([[False, False], a[:-2] == 0])
+    nxt_ok = np.concatenate([a[1:] <= 3, [True]])
+    # The mask is exact without sequential resolution: the scanner's
+    # zero-run count before byte i is >= 2 iff bytes i-2, i-1 are both
+    # literal zeros (zeros always increment the count; a dropped 0x03 is
+    # itself non-zero so it can never BE one of the two zeros).
+    drop = is3 & z1 & z2 & nxt_ok
+    if not drop.any():
+        return ebsp
+    return a[~drop].tobytes()
 
 
 def rbsp_to_ebsp(rbsp: bytes) -> bytes:

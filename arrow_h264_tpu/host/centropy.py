@@ -13,6 +13,7 @@ C++-filled arrays.
 from __future__ import annotations
 
 import ctypes as C
+import os
 import subprocess
 from pathlib import Path
 
@@ -67,16 +68,41 @@ class _SliceParams(C.Structure):
 _lib = None
 
 
-def load_lib():
+def load_lib(sanitize: bool | None = None):
+    """Build (if stale) and load the host entropy library.
+
+    sanitize=True (or ARROW_H264_SANITIZE=1) builds with ASAN+UBSAN —
+    the library parses untrusted bitstreams (SURVEY.md §5 sanitizers).
+    The sanitized build is a separate .so so both can coexist.
+    """
     global _lib
+    if sanitize is None:
+        sanitize = os.environ.get("ARROW_H264_SANITIZE") == "1"
     if _lib is not None:
         return _lib
+    lib_path = _LIB_PATH
+    flags = ["-O3", "-march=native", "-funroll-loops"]
+    if sanitize:
+        lib_path = lib_path.with_name("libh264entropy_asan.so")
+        flags = ["-O1", "-g", "-fsanitize=address,undefined",
+                 "-fno-sanitize-recover=undefined"]
     newest_src = max(p.stat().st_mtime for p in _SRC if p.exists())
-    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest_src:
+    if not lib_path.exists() or lib_path.stat().st_mtime < newest_src:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB_PATH),
+            ["g++", *flags, "-shared", "-fPIC", "-o", str(lib_path),
              str(_SRC[0])], check=True, cwd=str(_REPO / "cpp"))
-    lib = C.CDLL(str(_LIB_PATH))
+    if sanitize:
+        # ASAN must be loaded first; preload its runtime for dlopen use
+        asan = subprocess.run(
+            ["g++", "-print-file-name=libasan.so"],
+            capture_output=True, text=True).stdout.strip()
+        C.CDLL(asan, mode=C.RTLD_GLOBAL)
+        ubsan = subprocess.run(
+            ["g++", "-print-file-name=libubsan.so"],
+            capture_output=True, text=True).stdout.strip()
+        C.CDLL(ubsan, mode=C.RTLD_GLOBAL)
+
+    lib = C.CDLL(str(lib_path))
     lib.h264e_parse_slice.restype = C.c_int
     lib.h264e_parse_slice.argtypes = [C.POINTER(_PicBuf),
                                       C.POINTER(_SliceParams),

@@ -17,7 +17,7 @@ from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
 from arrow_h264_tpu.ops.transforms import make_ws_consts, residual_planes
 from arrow_h264_tpu.ops.pallas.mc_kernel import inter_predict_pallas
 from arrow_h264_tpu.ops.pallas.intra_kernel import intra_reconstruct_pallas
-from arrow_h264_tpu.ops.pallas.deblock_kernel import deblock_pallas
+from arrow_h264_tpu.ops.pallas.deblock_phase import deblock_phase_batch
 from arrow_h264_tpu.ops.deblock import deblock_tables
 from arrow_h264_tpu.ops.inter import halfpel_planes
 
@@ -70,8 +70,9 @@ y3 = timeit("intra_pallas (5% intra)", f_intra, abi, *res,
 f_tab = jax.jit(functools.partial(deblock_tables, mb_w=mb_w, mb_h=mb_h,
                                   cqp_off=(0, 0)))
 tables = timeit("deblock_tables (XLA)", f_tab, abi)
-f_db = jax.jit(functools.partial(deblock_pallas, mb_w=mb_w, mb_h=mb_h))
-timeit("deblock_pallas", f_db, *y3, tables)
+f_db = jax.jit(functools.partial(deblock_phase_batch, mb_w=mb_w, mb_h=mb_h))
+tb1 = {k: v[None] for k, v in tables.items()}
+timeit("deblock_phase (B=1)", f_db, y3[0][None], y3[1][None], y3[2][None], tb1)
 
 f_store = jax.jit(functools.partial(store_ref_fn))
 timeit("store_ref (halfpel+pack)", f_store, *dpb, 0, yref, cbref, cbref)
