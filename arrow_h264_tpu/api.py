@@ -29,6 +29,7 @@ from .mb.parse import PictureParse
 from .models.pipeline import DevicePipeline
 from .oracle.decoder import crop_planes
 from .ops.abi import pack_frame
+from .conceal import conceal_abi, nearest_ref_slot, slice_coverage
 from .trace import trace_frame_abi, trace_slice_header, trace_target
 
 
@@ -59,9 +60,12 @@ class Decoder:
     component); "python" uses the pure-Python differential oracle parser.
     """
 
-    def __init__(self, entropy: str = "cpp", trace=None) -> None:
+    def __init__(self, entropy: str = "cpp", trace=None,
+                 conceal: bool = False) -> None:
         self._trace = trace_target(trace)
         self._frame_idx = 0
+        self.conceal = conceal
+        self.concealed: list[tuple[int, int]] = []
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self._pipelines: dict[tuple, DevicePipeline] = {}
@@ -98,33 +102,41 @@ class Decoder:
         the decoded picture into self.dpb (via _finish or equivalent)
         before resuming — this is what lets the batched lockstep driver
         interleave host parse with batched device reconstruction.
+
+        With self.conceal, slice-level parse errors are swallowed (the
+        affected MBs are repaired later by _finish via conceal_abi);
+        without it they propagate.
         """
         cur: PictureParse | None = None
         cur_poc = 0
         for u in nal.parse_annexb(data):
             if u.nal_unit_type == nal.NAL_SPS:
-                s = parse_sps(u.rbsp)
-                self.sps_map[s.seq_parameter_set_id] = s
+                sp = parse_sps(u.rbsp)
+                self.sps_map[sp.seq_parameter_set_id] = sp
             elif u.nal_unit_type == nal.NAL_PPS:
-                p = parse_pps(u.rbsp, self.sps_map)
-                self.pps_map[p.pic_parameter_set_id] = p
+                pp = parse_pps(u.rbsp, self.sps_map)
+                self.pps_map[pp.pic_parameter_set_id] = pp
             elif u.nal_unit_type == nal.NAL_SEI:
                 sps0 = next(iter(self.sps_map.values()), None)
                 self.sei_messages.extend(parse_sei_rbsp(u.rbsp, sps0))
             elif u.is_slice:
-                r2 = BitReader(u.rbsp)
-                r2.ue()
-                r2.ue()
-                pps = self.pps_map[r2.ue()]
-                sps = self.sps_map[pps.seq_parameter_set_id]
-                r = BitReader(u.rbsp)
-                hdr = parse_slice_header(r, sps, pps, u.nal_unit_type,
-                                         u.nal_ref_idc)
+                try:
+                    r2 = BitReader(u.rbsp)
+                    r2.ue()
+                    r2.ue()
+                    pps = self.pps_map[r2.ue()]
+                    sps = self.sps_map[pps.seq_parameter_set_id]
+                    r = BitReader(u.rbsp)
+                    hdr = parse_slice_header(r, sps, pps, u.nal_unit_type,
+                                             u.nal_ref_idc)
+                except Exception:
+                    if self.conceal:
+                        continue             # lost slice header
+                    raise
                 if hdr.first_mb_in_slice == 0:
                     if cur is not None:
                         yield cur, cur_poc
-                    if self.dpb is None or self._dpb_sps_id != \
-                            sps.seq_parameter_set_id:
+                    if self.dpb is None or self._dpb_sps_id !=                             sps.seq_parameter_set_id:
                         self.dpb = DPB(sps)
                         self._dpb_sps_id = sps.seq_parameter_set_id
                     cur = (centropy.CppPictureParse(sps, pps)
@@ -137,16 +149,23 @@ class Decoder:
                         gp.slot = 0
                     cur_poc = self.dpb.compute_poc(hdr)
                 if cur is None:
+                    if self.conceal:
+                        continue
                     raise ValueError("slice without picture start")
-                reflists = ((), ())
-                if hdr.is_p:
-                    reflists = (self.dpb.init_list_p(hdr), ())
-                elif hdr.is_b:
-                    reflists = self.dpb.init_lists_b(hdr, cur_poc)
-                if self._trace is not None:
-                    trace_slice_header(self._trace, hdr, cur_poc,
-                                       self._frame_idx)
-                cur.parse_slice(r, hdr, reflists, cur_poc)
+                try:
+                    reflists = ((), ())
+                    if hdr.is_p:
+                        reflists = (self.dpb.init_list_p(hdr), ())
+                    elif hdr.is_b:
+                        reflists = self.dpb.init_lists_b(hdr, cur_poc)
+                    if self._trace is not None:
+                        trace_slice_header(self._trace, hdr, cur_poc,
+                                           self._frame_idx)
+                    cur.parse_slice(r, hdr, reflists, cur_poc)
+                except Exception:
+                    if self.conceal:
+                        continue             # lost slice body
+                    raise
         if cur is not None:
             yield cur, cur_poc
 
@@ -185,7 +204,15 @@ class Decoder:
             yield self._emit(planes)
 
     def _finish(self, pic, poc: int):
+        if self.conceal and not pic.headers:
+            return                       # every slice of the picture lost
         abi = self.pack_abi(pic, poc)
+        if self.conceal:
+            cov = slice_coverage(pic)
+            if not cov.all():
+                n = conceal_abi(abi, cov,
+                                nearest_ref_slot(self.dpb, poc))
+                self.concealed.append((self._frame_idx - 1, n))
         pipeline = self._pipeline(pic.sps, pic.pps)
         y, cb, cr = pipeline.decode_frame(abi)   # device arrays
         yield from self.commit(pic, poc, y, cb, cr, pipeline.n_slots,

@@ -1,0 +1,69 @@
+"""Error concealment for lost slices (SURVEY.md §2 `erc_*.c` row).
+
+JM-lineage concealment repairs pictures whose slices were lost or failed
+to parse: inter pictures copy co-located pixels from the nearest
+reference ("frame copy", zero-MV P prediction); pictures with no
+references fall back to flat DC intra fill.  Concealment has no
+bit-exactness contract (the reference output for corrupt streams is
+decoder-defined); deblocking is disabled over concealed MBs so repaired
+regions do not bleed into parsed ones.
+
+Enable with `Decoder(conceal=True)`: slice parse errors are swallowed,
+uncovered macroblocks are patched in the frame ABI, and
+`Decoder.concealed` records (frame_idx, n_concealed_mbs) per repaired
+picture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ops.abi import KIND_I16, KIND_P
+
+
+def slice_coverage(pic) -> np.ndarray:
+    """[mb_h, mb_w] bool: True where an MB was parsed from a real slice."""
+    sm = pic.slice_map if hasattr(pic, "slice_map") else pic.a["slice_map"]
+    return np.asarray(sm) >= 0
+
+
+def conceal_abi(abi, covered: np.ndarray, ref_slot: int) -> int:
+    """Patch uncovered MBs in-place.  ref_slot: device DPB slot of the
+    nearest reference picture, or -1 if none (intra DC fill).
+    Returns the number of concealed MBs."""
+    miss = ~covered.reshape(-1)
+    n_miss = int(miss.sum())
+    if n_miss == 0:
+        return 0
+    idx = np.nonzero(miss)[0]
+    # wipe any partial parse state for these MBs
+    for k in ("luma4", "luma8", "luma_dc", "chroma_dc", "chroma_ac",
+              "nz", "tr8", "pcm"):
+        abi[k][idx] = 0
+    abi["qp"][idx] = 26
+    abi["disable_idc"][idx] = 1          # no filtering over repairs
+    if ref_slot >= 0:
+        abi["kind"][idx] = KIND_P
+        abi["mv"][idx] = 0
+        abi["refslot"][idx] = -1
+        abi["refslot"][idx, :, :, 0] = ref_slot
+        abi["refid"][idx] = -1
+        abi["refid"][idx, :, :, 0] = 0
+        abi["wp"][idx] = 0
+        abi["wp"][idx, ..., 0] = 1       # identity weights
+        abi["logwd"][idx] = 0
+    else:
+        abi["kind"][idx] = KIND_I16
+        abi["i16_mode"][idx] = 2         # DC
+        abi["chroma_mode"][idx] = 0      # DC
+        abi["mb_avail"][idx] = 0         # no neighbors -> flat 128
+    return n_miss
+
+
+def nearest_ref_slot(dpb, poc: int) -> int:
+    """Device slot of the reference picture nearest in POC; -1 if none."""
+    cands = [p for p in dpb.pics
+             if p.is_ref and p.slot >= 0 and not p.non_existing]
+    if not cands:
+        return -1
+    return min(cands, key=lambda p: abs(p.poc - poc)).slot

@@ -140,6 +140,8 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
         return mb_avail_intra(nb_mbx, nb_mby, cur)
 
     for addr, mb in enumerate(pic.mbs):
+        if mb is None:      # lost-slice MB (concealed later, api.conceal)
+            continue
         k = _CAT_TO_KIND[mb.category]
         abi["kind"][addr] = k
         abi["qp"][addr] = mb.qp
