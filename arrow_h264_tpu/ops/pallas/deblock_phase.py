@@ -230,8 +230,9 @@ def _chroma_filter(p1, p0, q0, q1, bs, tc0, alpha, beta):
 # p is final after phase p.
 
 
-def _phase_kernel(vm_ref, hm_ref, in_ref, out_ref, land, slab, ostage,
-                  sem, *, NS: int, mb_h: int, luma: bool):
+def _phase_kernel(vm_ref, hm_ref, in_ref, out_ref, land, pf, ostage, slab,
+                  sem_in, sem_pf, sem_out, *, NS: int, mb_h: int,
+                  luma: bool, NP: int, ablate: str = ""):
     del in_ref  # aliased to out_ref; kept for arity
     blk = 16 if luma else 8
     rpb = 16 if luma else 8
@@ -243,32 +244,66 @@ def _phase_kernel(vm_ref, hm_ref, in_ref, out_ref, land, slab, ostage,
     mb0 = (2 * blk + blk // 2) * NS      # lane of MB col 0, current row
     ab0 = (blk // 2) * NS                # lane of MB col 0, above row
 
-    # out_ref aliases the blocks input (input_output_aliases), so reads
-    # always come from out_ref: on a block's first touch that is the
-    # original input content; afterwards the prior phases' writes.
-    for i in range(4):
-        pltpu.make_async_copy(out_ref.at[p + i], land.at[i],
-                              sem.at[i]).start()
-    for i in range(4):
-        pltpu.make_async_copy(out_ref.at[p + i], land.at[i],
-                              sem.at[i]).wait()
+    # The slab is CARRIED across phases: after phase p it holds blocks
+    # p..p+3 post-filter, so phase p+1 shifts it left one block and only
+    # DMAs the one new block (p+4, prefetched during phase p — its first
+    # write is at phase p+1, so its pre-read is the original input via
+    # the in/out aliasing).  Writebacks: block p is final after phase p;
+    # its out-DMA overlaps the next phase (parity-alternating staging),
+    # and the last phase flushes the remaining three blocks.
 
-    for i in range(4):
-        slab[:, :, i * half:(i + 1) * half] = \
-            land[i].astype(jnp.int32).reshape(A, rpb, half)
+    # wait the previous phase's writeback before reusing its staging
+    @pl.when((p > 0) & (p % 2 == 1))
+    def _():
+        pltpu.make_async_copy(ostage.at[0], out_ref.at[p - 1],
+                              sem_out.at[0]).wait()
+
+    @pl.when((p > 0) & (p % 2 == 0))
+    def _():
+        pltpu.make_async_copy(ostage.at[1], out_ref.at[p - 1],
+                              sem_out.at[1]).wait()
+
+    @pl.when(p == 0)
+    def _():
+        for i in range(4):
+            pltpu.make_async_copy(out_ref.at[i], land.at[i],
+                                  sem_in.at[i]).start()
+        for i in range(4):
+            pltpu.make_async_copy(out_ref.at[i], land.at[i],
+                                  sem_in.at[i]).wait()
+        for i in range(4):
+            slab[:, :, i * half:(i + 1) * half] = \
+                land[i].astype(jnp.int32).reshape(A, rpb, half)
+
+    @pl.when(p > 0)
+    def _():
+        slab[:, :, 0:3 * half] = slab[:, :, half:4 * half]
+        pltpu.make_async_copy(out_ref.at[p + 3], pf, sem_pf).wait()
+        slab[:, :, 3 * half:] = pf[:, :].astype(jnp.int32) \
+            .reshape(A, rpb, half)
+
+    @pl.when(p + 4 < NP + 3)             # prefetch next phase's new block
+    def _():
+        pltpu.make_async_copy(out_ref.at[p + 4], pf, sem_pf).start()
 
     vm = vm_ref[0].astype(jnp.int32).reshape(A, rpb, 4 * NE * NS)
 
-    # ---- vertical edges: edge e at window lane (mb0 + 4e*NS)
-    for e in range(NE):
+    # ---- vertical edges: edge e at window lane (mb0 + 4e*NS).
+    # Operands are 2D [RH, NS] (leading dims merged via value reshape):
+    # 3D [A, rpb, NS] slices cost ~3x in Mosaic (per-outer iteration).
+    vm2 = vm.reshape(A * rpb, 4 * NE * NS)
+    for e in range(0 if "v" in ablate else NE):
         c0 = mb0 + (4 * e - taps // 2) * NS
-        t = [slab[:, :, c0 + k * NS: c0 + (k + 1) * NS] for k in range(taps)]
-        par = [vm[:, :, (f * NE + e) * NS:(f * NE + e + 1) * NS]
+        s2 = slab[:, :, c0:c0 + (taps + 1) * NS].reshape(
+            A * rpb, (taps + 1) * NS)
+        t = [s2[:, k * NS:(k + 1) * NS] for k in range(taps)]
+        par = [vm2[:, (f * NE + e) * NS:(f * NE + e + 1) * NS]
                for f in range(4)]
         res = _luma_filter(*t, *par) if luma else _chroma_filter(*t, *par)
         w0 = c0 + NS
         for k, v in enumerate(res):
-            slab[:, :, w0 + k * NS: w0 + (k + 1) * NS] = v
+            slab[:, :, w0 + k * NS: w0 + (k + 1) * NS] = \
+                v.reshape(A, rpb, NS)
 
     # ---- horizontal edges: taps along rows; above rows (m < RPAD) read
     # the above-strip lanes, current rows the MB lanes.
@@ -285,7 +320,7 @@ def _phase_kernel(vm_ref, hm_ref, in_ref, out_ref, land, slab, ostage,
         else:
             slab[1:mb_h + 1, m - rpb, base:base + blk * NS] = v
 
-    for e in range(NE):
+    for e in range(0 if "h" in ablate else NE):
         base = RPAD + 4 * e - taps // 2
         t = [row_get(base + k) for k in range(taps)]
         par = [hm_ref[0, f * NE + e].astype(jnp.int32) for f in range(4)]
@@ -293,19 +328,35 @@ def _phase_kernel(vm_ref, hm_ref, in_ref, out_ref, land, slab, ostage,
         for k, v in enumerate(res):
             row_set(base + 1 + k, v)
 
-    for i in range(4):
-        ostage[i] = slab[:, :, i * half:(i + 1) * half] \
-            .reshape(A * rpb, half).astype(jnp.uint8)
-    for i in range(4):
-        pltpu.make_async_copy(ostage.at[i], out_ref.at[p + i],
-                              sem.at[i]).start()
-    for i in range(4):
-        pltpu.make_async_copy(ostage.at[i], out_ref.at[p + i],
-                              sem.at[i]).wait()
+    @pl.when((p < NP - 1) & (p % 2 == 0))
+    def _():
+        ostage[0] = slab[:, :, 0:half].reshape(A * rpb, half) \
+            .astype(jnp.uint8)
+        pltpu.make_async_copy(ostage.at[0], out_ref.at[p],
+                              sem_out.at[0]).start()
+
+    @pl.when((p < NP - 1) & (p % 2 == 1))
+    def _():
+        ostage[1] = slab[:, :, 0:half].reshape(A * rpb, half) \
+            .astype(jnp.uint8)
+        pltpu.make_async_copy(ostage.at[1], out_ref.at[p],
+                              sem_out.at[1]).start()
+
+    @pl.when(p == NP - 1)                # final phase: flush all 4 blocks
+    def _():
+        for i in range(4):
+            land[i] = slab[:, :, i * half:(i + 1) * half] \
+                .reshape(A * rpb, half).astype(jnp.uint8)
+        for i in range(4):
+            pltpu.make_async_copy(land.at[i], out_ref.at[p + i],
+                                  sem_in.at[i]).start()
+        for i in range(4):
+            pltpu.make_async_copy(land.at[i], out_ref.at[p + i],
+                                  sem_in.at[i]).wait()
 
 
 def _run_plane(blocks, vmap_, hmap_, mb_w: int, mb_h: int, NS: int,
-               luma: bool, interpret: bool):
+               luma: bool, interpret: bool, ablate: str = ""):
     NB, RH, half = blocks.shape
     blk = 16 if luma else 8
     rpb = 16 if luma else 8
@@ -317,17 +368,21 @@ def _run_plane(blocks, vmap_, hmap_, mb_w: int, mb_h: int, NS: int,
     hspec = pl.BlockSpec((1, 4 * NE, mb_h, blk * NS),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_phase_kernel, NS=NS, mb_h=mb_h, luma=luma),
+        functools.partial(_phase_kernel, NS=NS, mb_h=mb_h, luma=luma,
+                          NP=NP, ablate=ablate),
         out_shape=jax.ShapeDtypeStruct(blocks.shape, jnp.uint8),
         grid=(NP,),
         in_specs=[vspec, hspec,
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((4, RH, half), jnp.uint8),
+            pltpu.VMEM((4, RH, half), jnp.uint8),   # land (init/flush)
+            pltpu.VMEM((RH, half), jnp.uint8),      # pf (prefetch)
+            pltpu.VMEM((2, RH, half), jnp.uint8),   # ostage (parity)
             pltpu.VMEM((A, rpb, 4 * half), jnp.int32),
-            pltpu.VMEM((4, RH, half), jnp.uint8),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         input_output_aliases={2: 0},
