@@ -61,10 +61,12 @@ def dpb_alloc(mb_w: int, mb_h: int, n_slots: int):
                       jnp.uint32))
 
 
-def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
+def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
                     mb_w: int, mb_h: int, ws4, ws8, cqp_off,
                     pallas: bool | None = None, inter_mode: str = "none"):
-    """Pure function: ABI dict + packed device DPB -> (y, cb, cr) uint8.
+    """Reconstruction; Pallas path returns pre-deblock
+    (y, cb, cr, tables) int32 so callers can batch the knight-phase
+    deblock across streams; XLA path returns finished uint8 planes.
 
     slot_list [MAX_SLOTS] i32: frame-level DPB-slot remap for the MC kernel
     (-1 unused); ignored by "none"/"gather" modes.
@@ -99,15 +101,60 @@ def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
         y, cb, cr = intra_reconstruct_pallas(
             abi, res_y, res_cb, res_cr, init_y, init_cb, init_cr, mb_w, mb_h)
         tables = deblock_tables(abi, mb_w, mb_h, cqp_off)
-        tb = {k: v[None] for k, v in tables.items()}
-        yb, cbb, crb = deblock_phase_batch(y[None], cb[None], cr[None],
-                                           tb, mb_w, mb_h)
-        y, cb, cr = yb[0], cbb[0], crb[0]
-    else:
-        y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
-                                      init_y, init_cb, init_cr)
-        y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
+        return y, cb, cr, tables
+    y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
+                                  init_y, init_cb, init_cr)
+    y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+
+
+def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
+                    mb_w: int, mb_h: int, ws4, ws8, cqp_off,
+                    pallas: bool | None = None, inter_mode: str = "none"):
+    """Pure function: ABI dict + packed device DPB -> (y, cb, cr) uint8."""
+    if pallas is None:
+        pallas = _use_pallas()
+    out = _reconstruct_fn(abi, dpb_y4p, dpb_cp, slot_list, mb_w=mb_w,
+                          mb_h=mb_h, ws4=ws4, ws8=ws8, cqp_off=cqp_off,
+                          pallas=pallas, inter_mode=inter_mode)
+    if not pallas:
+        return out
+    y, cb, cr, tables = out
+    tb = {k: v[None] for k, v in tables.items()}
+    yb, cbb, crb = deblock_phase_batch(y[None], cb[None], cr[None],
+                                       tb, mb_w, mb_h)
+    return (yb[0].astype(jnp.uint8), cbb[0].astype(jnp.uint8),
+            crb[0].astype(jnp.uint8))
+
+
+def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
+                           mb_w: int, mb_h: int, ws4, ws8, cqp_off,
+                           n_streams: int,
+                           pallas: bool | None = None,
+                           inter_mode: str = "none"):
+    """Batched decode: [B, ...] stacked ABIs + per-stream DPBs -> stacked
+    uint8 planes.  Residual/MC/intra run per stream; the knight-phase
+    deblock runs ONCE over the lane-packed batch (its per-batch cost is
+    near-constant in B, so batching amortizes it linearly — the
+    SURVEY.md §2 stream-batch axis)."""
+    if pallas is None:
+        pallas = _use_pallas()
+    pre = []
+    for i in range(n_streams):
+        abi_i = {k: v[i] for k, v in abi_b.items()}
+        pre.append(_reconstruct_fn(
+            abi_i, dpb_y_b[i], dpb_c_b[i], slots_b[i], mb_w=mb_w,
+            mb_h=mb_h, ws4=ws4, ws8=ws8, cqp_off=cqp_off, pallas=pallas,
+            inter_mode=inter_mode))
+    if not pallas:
+        return tuple(jnp.stack(o) for o in zip(*pre))
+    ys = jnp.stack([o[0] for o in pre])
+    cbs = jnp.stack([o[1] for o in pre])
+    crs = jnp.stack([o[2] for o in pre])
+    tb = {k: jnp.stack([o[3][k] for o in pre]) for k in pre[0][3]}
+    yb, cbb, crb = deblock_phase_batch(ys, cbs, crs, tb, mb_w, mb_h)
+    return (yb.astype(jnp.uint8), cbb.astype(jnp.uint8),
+            crb.astype(jnp.uint8))
 
 
 def store_ref_fn(dpb_y4p, dpb_cp, slot, y, cb, cr):

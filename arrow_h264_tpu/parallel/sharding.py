@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.pipeline import decode_frame_fn
+from ..models.pipeline import decode_frames_batch_fn
 
 
 def make_stream_mesh(devices=None) -> Mesh:
@@ -32,16 +32,11 @@ def batched_decode_fn(mb_w: int, mb_h: int, ws4, ws8, cqp_off,
 
     per_dev: streams per device shard (static).  Returns a function over
     batch-leading arrays of that size."""
-    fn = functools.partial(decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
-                           ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
-                           cqp_off=cqp_off, inter_mode=inter_mode)
-
     def stacked(abi_b, dpb_y_b, dpb_c_b, slots_b):
-        outs = []
-        for i in range(per_dev):
-            abi_i = {k: v[i] for k, v in abi_b.items()}
-            outs.append(fn(abi_i, dpb_y_b[i], dpb_c_b[i], slots_b[i]))
-        return tuple(jnp.stack(o) for o in zip(*outs))
+        return decode_frames_batch_fn(
+            abi_b, dpb_y_b, dpb_c_b, slots_b, mb_w=mb_w, mb_h=mb_h,
+            ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8), cqp_off=cqp_off,
+            n_streams=per_dev, inter_mode=inter_mode)
 
     return stacked
 
