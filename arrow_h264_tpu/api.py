@@ -14,7 +14,9 @@ runs as jitted JAX on the accelerator (models.pipeline).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import time
+
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -53,6 +55,22 @@ class Frame:
         return (self.y.tobytes() + self.cb.tobytes() + self.cr.tobytes())
 
 
+@dataclass
+class DecodeStats:
+    """Per-decoder counters (SURVEY.md par.5 metrics/logging row)."""
+    frames: int = 0
+    host_parse_s: float = 0.0       # entropy + header + DPB bookkeeping
+    device_dispatch_s: float = 0.0  # async submission of reconstruction
+    emit_sync_s: float = 0.0        # device->host sync at output time
+    concealed_mbs: int = 0
+
+    def as_dict(self) -> dict:
+        d = dict(self.__dict__)
+        wall = self.host_parse_s + self.device_dispatch_s +             self.emit_sync_s
+        d["fps_wall"] = round(self.frames / wall, 2) if wall else 0.0
+        return d
+
+
 class Decoder:
     """TPU-pipeline H.264 decoder (Baseline/Main/High, configs 1-4).
 
@@ -66,6 +84,7 @@ class Decoder:
         self._frame_idx = 0
         self.conceal = conceal
         self.concealed: list[tuple[int, int]] = []
+        self.stats = DecodeStats()
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self._pipelines: dict[tuple, DevicePipeline] = {}
@@ -88,7 +107,15 @@ class Decoder:
 
     def decode_annexb(self, data: bytes):
         """Yield Frames in output order."""
-        for pic, poc in self.parse_pictures(data):
+        gen = self.parse_pictures(data)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                pic, poc = next(gen)
+            except StopIteration:
+                self.stats.host_parse_s += time.perf_counter() - t0
+                break
+            self.stats.host_parse_s += time.perf_counter() - t0
             yield from self._finish(pic, poc)
         if self.dpb is not None:
             for planes in self.dpb.flush():
@@ -190,8 +217,11 @@ class Decoder:
         DPB slot (single-stream: pipeline.store_ref; batched: the
         stream's lane of the sharded store)."""
         hdr = pic.headers[0]
-        host = (np.asarray(y), np.asarray(cb), np.asarray(cr), pic.sps)
-        outputs, stored = self.dpb.store(host, hdr, poc)
+        # payload keeps DEVICE arrays (no sync): host entropy for the
+        # next picture overlaps device reconstruction of this one
+        # (SURVEY.md par. row 4); _emit syncs at output time.
+        payload = (y, cb, cr, pic.sps)
+        outputs, stored = self.dpb.store(payload, hdr, poc)
         if stored.is_ref:
             stored.col_mv, stored.col_refidx, stored.col_ref_uid = \
                 pic.build_col_motion()
@@ -213,14 +243,20 @@ class Decoder:
                 n = conceal_abi(abi, cov,
                                 nearest_ref_slot(self.dpb, poc))
                 self.concealed.append((self._frame_idx - 1, n))
+                self.stats.concealed_mbs += n
         pipeline = self._pipeline(pic.sps, pic.pps)
-        y, cb, cr = pipeline.decode_frame(abi)   # device arrays
+        t0 = time.perf_counter()
+        y, cb, cr = pipeline.decode_frame(abi)   # device arrays (async)
+        self.stats.device_dispatch_s += time.perf_counter() - t0
+        self.stats.frames += 1
         yield from self.commit(pic, poc, y, cb, cr, pipeline.n_slots,
                                pipeline.store_ref)
 
-    @staticmethod
-    def _emit(planes) -> Frame:
+    def _emit(self, planes) -> Frame:
         y, cb, cr, sps = planes
+        t0 = time.perf_counter()
+        y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+        self.stats.emit_sync_s += time.perf_counter() - t0
         y, cb, cr = crop_planes(sps, y, cb, cr)
         return Frame(y=y, cb=cb, cr=cr)
 

@@ -47,6 +47,11 @@ class BatchDecoder:
         self.errors: list = [None] * n_streams
         self._geom = None
 
+    @property
+    def stats(self):
+        """Aggregated per-stream DecodeStats (dicts)."""
+        return [d.stats.as_dict() for d in self.decoders]
+
     # ---- batched device state --------------------------------------------
 
     def _init_device(self, sps, pps):
