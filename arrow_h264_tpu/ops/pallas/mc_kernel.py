@@ -250,27 +250,44 @@ def _swar_avg(a, b):
 
 
 def _luma_kernel(slots_ref, band_ref, cmap_ref, m12_ref, dpb_ref,
-                 out_ref, sb, rr, tt, st, sem, *, n_lanes: int):
+                 out_ref, sb, rr, tt, st, sem, *, n_lanes: int,
+                 n_bands: int):
     band = pl.program_id(0)
-    kmask = band_ref[0, 0, 1]
     tmask = band_ref[0, 0, 2]
-    row0 = pl.multiple_of(band * 16 + 8, 8)
-    for k in range(MAX_SLOTS):
-        @pl.when((kmask & (1 << k)) != 0)
-        def _():
-            pltpu.make_async_copy(
-                dpb_ref.at[slots_ref[0, 0, k], :, pl.ds(row0, 64), :],
-                sb.at[k], sem.at[k]).start()
-    for t in range(8):
-        @pl.when((tmask & (1 << t)) != 0)
-        def _():
-            tt[t, :, :] = jnp.zeros((16, n_lanes), jnp.uint32)
-    for k in range(MAX_SLOTS):
-        @pl.when((kmask & (1 << k)) != 0)
-        def _():
-            pltpu.make_async_copy(
-                dpb_ref.at[slots_ref[0, 0, k], :, pl.ds(row0, 64), :],
-                sb.at[k], sem.at[k]).wait()
+
+    # Band slabs are double-buffered: band b computes from sb[b%2] (DMA
+    # started at band b-1) while band b+1's slab prefetches into the
+    # other buffer.  All MAX_SLOTS slots are copied (clamped index for
+    # unused -1 entries) — guard branches cost more than the copies.
+    def dma_band(buf: int, b, method: str):
+        r0 = pl.multiple_of(b * 16 + 8, 8)
+        for k in range(MAX_SLOTS):
+            slot = jnp.maximum(slots_ref[0, 0, k], 0)
+            getattr(pltpu.make_async_copy(
+                dpb_ref.at[slot, :, pl.ds(r0, 64), :],
+                sb.at[buf, k], sem.at[buf, k]), method)()
+
+    @pl.when(band == 0)
+    def _():
+        dma_band(0, 0, "start")
+
+    @pl.when((band + 1 < n_bands) & (band % 2 == 0))
+    def _():
+        dma_band(1, band + 1, "start")
+
+    @pl.when((band + 1 < n_bands) & (band % 2 == 1))
+    def _():
+        dma_band(0, band + 1, "start")
+
+    @pl.when(band % 2 == 0)
+    def _():
+        dma_band(0, band, "wait")
+
+    @pl.when(band % 2 == 1)
+    def _():
+        dma_band(1, band, "wait")
+    buf = band % 2
+    tt[:, :, :] = jnp.zeros((8, 16, n_lanes), jnp.uint32)
 
     st[0] = -1
     count = band_ref[0, 0, 0]
@@ -288,7 +305,7 @@ def _luma_kernel(slots_ref, band_ref, cmap_ref, m12_ref, dpb_ref,
         def _():
             # row-align all 4 planes for this (k, dy); reused across dx
             for p in range(4):
-                rr[p, :, :] = pltpu.roll(sb[k, p], -(24 + dy), 0)
+                rr[p, :, :] = pltpu.roll(sb[buf, k, p], -(24 + dy), 0)
             st[0] = c >> 7
 
         mask = cmap == c
@@ -302,18 +319,13 @@ def _luma_kernel(slots_ref, band_ref, cmap_ref, m12_ref, dpb_ref,
             v0 = _byte_shift(la, lb, rx)
             for t in need0:
                 ey = _TILE_SRC[t][1]
-
-                @pl.when((tmask & (1 << t)) != 0)
-                def _(t=t, ey=ey):
-                    tt[t, :, :] = jnp.where(mask, v0[ey:ey + 16, :],
-                                            tt[t, :, :])
+                tt[t, :, :] = jnp.where(mask, v0[ey:ey + 16, :],
+                                        tt[t, :, :])
             if need1:
                 v1 = _byte_shift1(la, lb, rx)
                 for t in need1:
-                    @pl.when((tmask & (1 << t)) != 0)
-                    def _(t=t):
-                        tt[t, :, :] = jnp.where(mask, v1[0:16, :],
-                                                tt[t, :, :])
+                    tt[t, :, :] = jnp.where(mask, v1[0:16, :],
+                                            tt[t, :, :])
         return 0
 
     jax.lax.fori_loop(0, count, body, 0)
@@ -333,7 +345,8 @@ def _luma_kernel(slots_ref, band_ref, cmap_ref, m12_ref, dpb_ref,
 
 def _chroma_kernel(slots_ref, band_ref, ce_ref, co_ref,
                    xy0_ref, xy1_ref, xy2_ref, xy3_ref, dpb_ref,
-                   out_ref, sb, rr, tt, st, sem, *, n_lanes: int):
+                   out_ref, sb, rr, tt, st, sem, *, n_lanes: int,
+                   n_bands: int):
     # The slab is 64 rows (not the minimal 40): Mosaic's dynamic-shift
     # sublane roll drops the tile-granular part of the shift when the
     # sublane-tile count is not a power of two (40 rows = 5 tiles broke
@@ -341,22 +354,37 @@ def _chroma_kernel(slots_ref, band_ref, ce_ref, co_ref,
     # last bands stay in bounds; `off` rebases the roll accordingly.
     Hcp = dpb_ref.shape[2]
     band = pl.program_id(0)
-    kmask = band_ref[0, 0, 1]
-    row0 = pl.multiple_of(jnp.minimum(band * 8, Hcp - 64), 8)
-    off = band * 8 - row0
-    for k in range(MAX_SLOTS):
-        @pl.when((kmask & (1 << k)) != 0)
-        def _():
-            pltpu.make_async_copy(
-                dpb_ref.at[slots_ref[0, 0, k], :, pl.ds(row0, 64), :],
-                sb.at[k], sem.at[k]).start()
+    off = band * 8 - jnp.minimum(band * 8, Hcp - 64)
+
+    def dma_band(buf: int, b, method: str):
+        r0 = pl.multiple_of(jnp.minimum(b * 8, Hcp - 64), 8)
+        for k in range(MAX_SLOTS):
+            slot = jnp.maximum(slots_ref[0, 0, k], 0)
+            getattr(pltpu.make_async_copy(
+                dpb_ref.at[slot, :, pl.ds(r0, 64), :],
+                sb.at[buf, k], sem.at[buf, k]), method)()
+
+    @pl.when(band == 0)
+    def _():
+        dma_band(0, 0, "start")
+
+    @pl.when((band + 1 < n_bands) & (band % 2 == 0))
+    def _():
+        dma_band(1, band + 1, "start")
+
+    @pl.when((band + 1 < n_bands) & (band % 2 == 1))
+    def _():
+        dma_band(0, band + 1, "start")
+
+    @pl.when(band % 2 == 0)
+    def _():
+        dma_band(0, band, "wait")
+
+    @pl.when(band % 2 == 1)
+    def _():
+        dma_band(1, band, "wait")
+    buf = band % 2
     tt[:, :, :, :] = jnp.zeros((2, 4, 8, n_lanes), jnp.uint32)
-    for k in range(MAX_SLOTS):
-        @pl.when((kmask & (1 << k)) != 0)
-        def _():
-            pltpu.make_async_copy(
-                dpb_ref.at[slots_ref[0, 0, k], :, pl.ds(row0, 64), :],
-                sb.at[k], sem.at[k]).wait()
 
     st[0] = -1
     count = band_ref[0, 0, 0]
@@ -377,7 +405,7 @@ def _chroma_kernel(slots_ref, band_ref, ce_ref, co_ref,
             # at padded row row0 = band*8 - off; dest row 0 = padded row
             # band*8 + 16)
             for p in range(2):
-                rr[p, :, :] = pltpu.roll(sb[k, p], -(16 + off + dy), 0)
+                rr[p, :, :] = pltpu.roll(sb[buf, k, p], -(16 + off + dy), 0)
             st[0] = c >> 7
 
         me = ce == c
@@ -436,17 +464,17 @@ def mc_luma_pallas(dpb_y4p, cand_map, m12_map, bandinfo, slot_list,
     slots = jnp.asarray(slot_list, jnp.int32).reshape(1, 1, MAX_SLOTS)
     bandinfo = bandinfo.reshape(bandinfo.shape[0], 1, -1)
     return pl.pallas_call(
-        functools.partial(_luma_kernel, n_lanes=WL),
+        functools.partial(_luma_kernel, n_lanes=WL, n_bands=mb_h),
         out_shape=jax.ShapeDtypeStruct((H, WL), jnp.uint32),
         grid=(mb_h,),
         in_specs=[smem0(slots), smem(bandinfo), vmap_spec, vmap_spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=vmap_spec,
-        scratch_shapes=[pltpu.VMEM((MAX_SLOTS, 4, 64, WL), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((2, MAX_SLOTS, 4, 64, WL), jnp.uint32),
                         pltpu.VMEM((4, 64, WL), jnp.uint32),
                         pltpu.VMEM((8, 16, WL), jnp.uint32),
                         pltpu.SMEM((1,), jnp.int32),
-                        pltpu.SemaphoreType.DMA((MAX_SLOTS,))],
+                        pltpu.SemaphoreType.DMA((2, MAX_SLOTS))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -471,18 +499,18 @@ def mc_chroma_pallas(dpb_cp, cand_e, cand_o, xfyf, bandinfo, slot_list,
     slots = jnp.asarray(slot_list, jnp.int32).reshape(1, 1, MAX_SLOTS)
     bandinfo = bandinfo.reshape(bandinfo.shape[0], 1, -1)
     return pl.pallas_call(
-        functools.partial(_chroma_kernel, n_lanes=WLc),
+        functools.partial(_chroma_kernel, n_lanes=WLc, n_bands=mb_h),
         out_shape=jax.ShapeDtypeStruct((2, H2, WLc), jnp.uint32),
         grid=(mb_h,),
         in_specs=[smem0(slots), smem(bandinfo), vspec, vspec,
                   vspec, vspec, vspec, vspec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=ospec,
-        scratch_shapes=[pltpu.VMEM((MAX_SLOTS, 2, 64, WLc), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((2, MAX_SLOTS, 2, 64, WLc), jnp.uint32),
                         pltpu.VMEM((2, 64, WLc), jnp.uint32),
                         pltpu.VMEM((2, 4, 8, WLc), jnp.uint32),
                         pltpu.SMEM((1,), jnp.int32),
-                        pltpu.SemaphoreType.DMA((MAX_SLOTS,))],
+                        pltpu.SemaphoreType.DMA((2, MAX_SLOTS))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
