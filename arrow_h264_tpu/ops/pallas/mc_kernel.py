@@ -60,7 +60,14 @@ _TILE_SRC = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 0),
 
 
 def _round128(x: int) -> int:
-    return -(-x // 128) * 128
+    """Round lanes up to a POWER-OF-TWO multiple of 128: Mosaic's dynamic
+    (traced-shift) roll drops the tile-granular shift component when the
+    tile count is not a power of two (same bug class as the 40-row
+    chroma slab; bit it again at 720p's 384 = 3x128 lanes)."""
+    n = 128
+    while n < x:
+        n *= 2
+    return n
 
 
 def luma_lanes(W: int) -> int:
