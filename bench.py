@@ -39,7 +39,7 @@ from tools.devtime import devtime
 
 def main() -> None:
     mb_w, mb_h = 120, 68           # 1920x1088
-    batch = 16
+    batch = 32
     n_slots = 2
     ws4, ws8 = make_ws_consts([[16] * 16] * 6, [[16] * 64] * 2)
     fn = functools.partial(
