@@ -14,6 +14,35 @@
 
 #include "tables_gen.h"
 
+#if defined(__GNUC__)
+#define H264E_LIKELY(x) __builtin_expect(!!(x), 1)
+#define H264E_UNLIKELY(x) __builtin_expect(!!(x), 0)
+#define H264E_INLINE inline __attribute__((always_inline))
+#define H264E_NOINLINE __attribute__((noinline))
+#else
+#define H264E_LIKELY(x) (x)
+#define H264E_UNLIKELY(x) (x)
+#define H264E_INLINE inline
+#define H264E_NOINLINE
+#endif
+
+#ifdef H264E_STATS
+// Optional per-run counters/section-timers for performance analysis;
+// compiled out of the shipped library.
+#include <x86intrin.h>
+struct H264eStats {
+  uint64_t decisions, bypasses, blocks, coeffs, mbs, sig_iters;
+  uint64_t t_resid, t_scatter, t_motion, t_total;
+};
+static H264eStats g_h264e_stats;
+extern "C" H264eStats* h264e_stats() { return &g_h264e_stats; }
+#define H264E_STAT(field, n) (g_h264e_stats.field += (n))
+#define H264E_TSC(field, expr) do { uint64_t t0_ = __rdtsc(); expr; g_h264e_stats.field += __rdtsc() - t0_; } while (0)
+#else
+#define H264E_STAT(field, n)
+#define H264E_TSC(field, expr) expr
+#endif
+
 namespace {
 
 constexpr int32_t ORDER_UNDECODED = 1 << 30;
@@ -28,53 +57,114 @@ inline bool cat_is_intra(int c) { return c <= CAT_IPCM; }
 inline bool cat_is_intra_nxn(int c) { return c == CAT_I4 || c == CAT_I8; }
 
 // ---------------------------------------------------------------------------
-// Bit reader (bitstream/bits.py)
+// Bit reader (bitstream/bits.py) — 64-bit word-cached.
+//
+// `cache` holds the next unconsumed bits left-aligned (bit 63 = next bit),
+// zero-padded past the end of the buffer; `ncache` counts valid cache bits.
+// Invariant on entry to every public read: ncache >= 33, so any single
+// fixed-size read (max 32 bits) and any peek up to 32 bits is one shift.
+// Refill is one 8-byte load + bswap per ~4 consumed bytes instead of the
+// per-bit loads of the naive reader.
 // ---------------------------------------------------------------------------
 struct BitReader {
   const uint8_t* d;
   int64_t nbits;
-  int64_t pos = 0;
+  int64_t nbytes;
   bool error = false;
+  uint64_t cache = 0;
+  int ncache = 0;
+  int64_t pos = 0;  // absolute bit index of the next unconsumed bit
 
-  BitReader(const uint8_t* data, int64_t nbytes, int64_t bitpos)
-      : d(data), nbits(nbytes * 8), pos(bitpos) {}
+  BitReader(const uint8_t* data, int64_t nbytes_, int64_t bitpos)
+      : d(data), nbits(nbytes_ * 8), nbytes(nbytes_), pos(bitpos) {
+    reload();
+  }
 
-  inline int u1() {
-    if (pos >= nbits) { error = true; return 0; }
-    int b = (d[pos >> 3] >> (7 - (pos & 7))) & 1;
-    pos++;
+  H264E_NOINLINE void reload() {
+    int64_t byte0 = pos >> 3;
+    uint64_t v;
+    if (H264E_LIKELY(byte0 + 8 <= nbytes)) {
+      memcpy(&v, d + byte0, 8);
+      v = __builtin_bswap64(v);
+    } else {
+      if (pos > nbits) error = true;  // ran past the stream (corrupt input)
+      v = 0;
+      for (int i = 0; i < 8; i++)
+        v = (v << 8) | (byte0 + i < nbytes ? d[byte0 + i] : 0);
+    }
+    int sh = (int)(pos & 7);
+    cache = v << sh;
+    ncache = 64 - sh;  // 57..64
+  }
+
+  H264E_INLINE void consume(int n) {  // n <= ncache
+    pos += n;
+    cache <<= n;
+    ncache -= n;
+    if (H264E_UNLIKELY(ncache < 33)) reload();
+  }
+  H264E_INLINE void skip(int n) { consume(n); }
+
+  // CABAC refill: no per-read bounds check (the cache zero-pads past the
+  // end and reload() flags `error` when the position has run past the
+  // stream, so corrupt/truncated slices are still detected within ~32
+  // bits — checked per-MB by the slice loop).  sh in 0..9.
+  H264E_INLINE uint32_t refill_bits(int sh) {
+    uint32_t v = (uint32_t)((cache >> 1) >> (63 - sh));
+    pos += sh;
+    cache <<= sh;
+    ncache -= sh;
+    if (H264E_UNLIKELY(ncache < 33)) reload();
+    return v;
+  }
+
+  H264E_INLINE int u1() {
+    if (H264E_UNLIKELY(pos >= nbits)) { error = true; return 0; }
+    int b = (int)(cache >> 63);
+    consume(1);
     return b;
   }
-  inline uint32_t u(int n) {
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) v = (v << 1) | u1();
+  H264E_INLINE uint32_t u(int n) {  // n in 0..32
+    if (n == 0) return 0;
+    if (H264E_UNLIKELY(pos + n > nbits)) error = true;
+    uint32_t v = (uint32_t)(cache >> (64 - n));
+    consume(n);
     return v;
   }
-  inline uint32_t peek(int n) {  // zero-padded past end
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) {
-      int64_t p = pos + i;
-      v = (v << 1) | ((p < nbits) ? ((d[p >> 3] >> (7 - (p & 7))) & 1) : 0);
-    }
-    return v;
+  H264E_INLINE uint32_t peek(int n) const {  // n in 1..32, zero-padded past end
+    return (uint32_t)(cache >> (64 - n));
   }
-  inline uint32_t ue() {
-    int lz = 0;
-    while (u1() == 0) {
-      if (++lz > 32 || error) { error = true; return 0; }
+  H264E_INLINE uint32_t ue() {
+    int lz = cache ? __builtin_clzll(cache) : 64;
+    if (H264E_UNLIKELY(lz >= ncache)) {  // zeros may extend past the cache
+      reload();
+      lz = cache ? __builtin_clzll(cache) : 64;
     }
-    if (lz == 0) return 0;
-    return (1u << lz) - 1 + u(lz);
+    if (H264E_UNLIKELY(lz > 32)) { error = true; return 0; }
+    int total = 2 * lz + 1;
+    if (H264E_LIKELY(total <= ncache)) {
+      if (H264E_UNLIKELY(pos + total > nbits)) error = true;
+      uint32_t v = (uint32_t)((cache >> (64 - total)) - 1);
+      consume(total);
+      return v;
+    }
+    // long codeword spanning the cache: two-step (rare)
+    if (H264E_UNLIKELY(pos + total > nbits)) error = true;
+    consume(lz + 1);
+    return (uint32_t)((1ull << lz) - 1 + u(lz));
   }
-  inline int32_t se() {
+  H264E_INLINE int32_t se() {
     uint32_t k = ue();
     return (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
   }
-  inline uint32_t te(int max_val) {
+  H264E_INLINE uint32_t te(int max_val) {
     if (max_val == 1) return 1 - u1();
     return ue();
   }
-  inline void align() { pos = (pos + 7) & ~7LL; }
+  inline void align() {
+    int rem = (int)(pos & 7);
+    if (rem) consume(8 - rem);
+  }
   bool more_rbsp_data() const {
     if (pos >= nbits) return false;
     int64_t last = nbits / 8 - 1;
@@ -89,13 +179,34 @@ struct BitReader {
 };
 
 // ---------------------------------------------------------------------------
-// CABAC engine (entropy/cabac.py, spec 9.3)
+// CABAC engine (entropy/cabac.py, spec 9.3) — branchless hot path.
+//
+// Context state is packed one byte per context: s2 = (state << 1) | mps.
+// Transition tables are precomputed over s2 so an MPS/LPS step is a single
+// table load + store; the MPS-vs-LPS split and the renormalization are
+// mask/cmov + one clz shift (no data-dependent branches — CABAC bins are
+// near-incompressible, so branches on them mispredict at the LPS rate).
 // ---------------------------------------------------------------------------
+struct CabacTables {
+  uint8_t lps2[128 * 4];    // rangeTabLPS indexed by packed state
+  uint8_t next_mps[128];    // s2 after an MPS decision
+  uint8_t next_lps[128];    // s2 after an LPS decision (state 0 flips MPS)
+  CabacTables() {
+    for (int s = 0; s < 64; s++)
+      for (int m = 0; m < 2; m++) {
+        int s2 = (s << 1) | m;
+        for (int q = 0; q < 4; q++) lps2[s2 * 4 + q] = kRangeLPS[s * 4 + q];
+        next_mps[s2] = (uint8_t)((kTransMPS[s] << 1) | m);
+        next_lps[s2] = (uint8_t)((kTransLPS[s] << 1) | (s == 0 ? m ^ 1 : m));
+      }
+  }
+};
+static const CabacTables kCT;
+
 struct Cabac {
   BitReader* r;
   int32_t range_, offset_;
-  uint8_t state[1024];
-  uint8_t mps[1024];
+  uint8_t pstate[1024];  // (state << 1) | mps per context
 
   void start(BitReader* br) {
     r = br;
@@ -111,58 +222,57 @@ struct Cabac {
       int pre = ((m * qp) >> 4) + n;
       if (pre < 1) pre = 1;
       if (pre > 126) pre = 126;
-      if (pre <= 63) { state[i] = (uint8_t)(63 - pre); mps[i] = 0; }
-      else { state[i] = (uint8_t)(pre - 64); mps[i] = 1; }
+      if (pre <= 63) pstate[i] = (uint8_t)((63 - pre) << 1);
+      else pstate[i] = (uint8_t)(((pre - 64) << 1) | 1);
     }
   }
-  inline int decision(int ctx) {
-    int s = state[ctx];
-    int lps = kRangeLPS[s * 4 + ((range_ >> 6) & 3)];
+  // One-shift renorm: doubling count = clz(range)-23 for range in [2,255],
+  // clamped to 0 when no renorm is needed; refill comes from the reader's
+  // 64-bit cache (the round-2 engine read one bit per loop iteration).
+  H264E_INLINE void renorm() {
+    int sh = __builtin_clz((unsigned)range_) - 23;
+    sh &= ~(sh >> 31);  // max(sh, 0)
+    range_ <<= sh;
+    offset_ = (offset_ << sh) | (int32_t)r->refill_bits(sh);
+  }
+  H264E_INLINE int decision(int ctx) {
+    H264E_STAT(decisions, 1);
+    unsigned s2 = pstate[ctx];
+    int lps = kCT.lps2[s2 * 4 + ((range_ >> 6) & 3)];
     range_ -= lps;
-    int bit;
-    if (offset_ >= range_) {
-      bit = 1 - mps[ctx];
-      offset_ -= range_;
-      range_ = lps;
-      if (s == 0) mps[ctx] = 1 - mps[ctx];
-      state[ctx] = kTransLPS[s];
-    } else {
-      bit = mps[ctx];
-      state[ctx] = kTransMPS[s];
-    }
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | r->u1();
-    }
+    int32_t diff = offset_ - range_;
+    int32_t mps_mask = diff >> 31;  // -1 on MPS, 0 on LPS
+    int bit = (int)(s2 & 1) ^ (int)(~mps_mask & 1);
+    offset_ = mps_mask ? offset_ : diff;
+    range_ = mps_mask ? range_ : lps;
+    pstate[ctx] = mps_mask ? kCT.next_mps[s2] : kCT.next_lps[s2];
+    renorm();
     return bit;
   }
-  inline int bypass() {
-    offset_ = (offset_ << 1) | r->u1();
-    if (offset_ >= range_) { offset_ -= range_; return 1; }
-    return 0;
+  H264E_INLINE int bypass() {
+    H264E_STAT(bypasses, 1);
+    offset_ = (offset_ << 1) | (int32_t)r->refill_bits(1);
+    int32_t diff = offset_ - range_;
+    int one = (int)(~(diff >> 31) & 1);
+    offset_ = one ? diff : offset_;
+    return one;
   }
-  inline int terminate() {
+  H264E_INLINE int terminate() {
     range_ -= 2;
     if (offset_ >= range_) return 1;
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | r->u1();
-    }
+    renorm();
     return 0;
   }
   void flush() {
     range_ = 2;
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | r->u1();
-    }
+    renorm();
   }
   void reinit() {
     r->align();
     range_ = 510;
     offset_ = (int32_t)r->u(9);
   }
-  inline int eg_bypass(int k) {
+  H264E_INLINE int eg_bypass(int k) {
     int v = 0;
     while (bypass()) {
       v += 1 << k;
@@ -327,7 +437,7 @@ struct Parser {
       int len = kCoeffTokLen3[p16];
       int val = kCoeffTokVal3[p16];
       if (len == 0) { r.error = true; return 0; }
-      r.pos += len;
+      r.skip(len);
       total_coeff = val >> 2; trailing_ones = val & 3;
     } else if (nc < 8) {
       int cls = nc < 2 ? 0 : (nc < 4 ? 1 : 2);
@@ -337,7 +447,7 @@ struct Parser {
       int len = tl[p16];
       if (len == 0) { r.error = true; return 0; }
       int val = tv[p16];
-      r.pos += len;
+      r.skip(len);
       total_coeff = val >> 2; trailing_ones = val & 3;
     } else {
       uint32_t v = r.u(6);
@@ -376,13 +486,13 @@ struct Parser {
         int len = kTzcLen[total_coeff][p];
         if (len == 0) { r.error = true; return 0; }
         total_zeros = kTzcVal[total_coeff][p];
-        r.pos += len;
+        r.skip(len);
       } else {
         uint32_t p = r.peek(9);
         int len = kTz4Len[total_coeff][p];
         if (len == 0) { r.error = true; return 0; }
         total_zeros = kTz4Val[total_coeff][p];
-        r.pos += len;
+        r.skip(len);
       }
     }
 
@@ -396,7 +506,7 @@ struct Parser {
         int len = kRunLen[zl][p];
         if (len == 0) { r.error = true; return 0; }
         runs[i] = kRunVal[zl][p];
-        r.pos += len;
+        r.skip(len);
       }
       zeros_left -= runs[i];
     }
