@@ -97,6 +97,7 @@ class Decoder:
             except Exception:
                 entropy = "python"
         self.entropy = entropy
+        self._pic_pool = centropy.PicBufPool()
 
     def _pipeline(self, sps: SPS, pps: PPS) -> DevicePipeline:
         key = (sps.seq_parameter_set_id, pps.pic_parameter_set_id,
@@ -163,10 +164,18 @@ class Decoder:
                 if hdr.first_mb_in_slice == 0:
                     if cur is not None:
                         yield cur, cur_poc
+                        # by the generator contract (docstring above) the
+                        # caller has committed `cur` before resuming, so
+                        # its parse arrays can go back to the pool (the
+                        # pool's refcount gate + min-depth keep anything
+                        # still referenced downstream out of reuse)
+                        if hasattr(cur, "retire"):
+                            cur.retire()
                     if self.dpb is None or self._dpb_sps_id !=                             sps.seq_parameter_set_id:
                         self.dpb = DPB(sps)
                         self._dpb_sps_id = sps.seq_parameter_set_id
-                    cur = (centropy.CppPictureParse(sps, pps)
+                    cur = (centropy.CppPictureParse(sps, pps,
+                                                    pool=self._pic_pool)
                            if self.entropy == "cpp"
                            else PictureParse(sps, pps))
                     # spec 8.2.5.2: synthesize non-existing refs for

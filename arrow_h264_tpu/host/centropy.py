@@ -28,7 +28,7 @@ _LIB_PATH = _REPO / "cpp" / "libh264entropy.so"
 _SRC = [_REPO / "cpp" / "entropy.cpp", _REPO / "cpp" / "entropy_mb.inc",
         _REPO / "cpp" / "entropy_inter.inc", _REPO / "cpp" / "tables_gen.h"]
 
-ABI_VERSION = 3
+ABI_VERSION = 4
 
 
 class _PicBuf(C.Structure):
@@ -41,6 +41,7 @@ class _PicBuf(C.Structure):
         "alpha_off", "beta_off", "luma4", "luma8", "luma_dc", "chroma_dc",
         "chroma_ac", "i4_modes", "i8_modes", "i16_mode", "chroma_mode",
         "i4_avail", "i8_avail", "mb_avail", "pcm", "mv", "refidx", "cbp",
+        "refslot", "refid",
         "tc_luma", "tc_cb", "tc_cr", "mode_map", "slice_map", "mv_grid",
         "ref_grid", "order_grid", "direct_grid", "cbf_luma", "cbf_luma_dc",
         "cbf_cdc", "cbf_cac", "mvd_grid")]
@@ -62,6 +63,7 @@ class _SliceParams(C.Structure):
         ("l0_len", C.c_int32),
         ("l1_poc", C.c_void_p), ("l1_lt", C.c_void_p), ("l1_uid", C.c_void_p),
         ("l1_len", C.c_int32),
+        ("l0_slot", C.c_void_p), ("l1_slot", C.c_void_p),
     ]
 
 
@@ -107,6 +109,8 @@ def load_lib(sanitize: bool | None = None):
     lib.h264e_parse_slice.argtypes = [C.POINTER(_PicBuf),
                                       C.POINTER(_SliceParams),
                                       C.c_void_p, C.c_int64, C.c_int64]
+    lib.h264e_reset_pic.restype = None
+    lib.h264e_reset_pic.argtypes = [C.POINTER(_PicBuf)]
     assert lib.h264e_abi_version() == ABI_VERSION
     _lib = lib
     return lib
@@ -116,45 +120,92 @@ def _ptr(a: np.ndarray) -> int:
     return a.ctypes.data
 
 
+class PicBufPool:
+    """Recycles the ~40MB of per-picture parse arrays across pictures.
+
+    Fresh allocation + first-touch page faults cost ~30-50ms per 1080p
+    picture; a recycled buffer is re-initialized by the C++
+    h264e_reset_pic pre-pass (selective clears keyed on the previous
+    picture's cbp records) in ~1-2ms.
+
+    Safety: arrays may still be referenced downstream (e.g. a zero-copy
+    jax.device_put on the CPU backend aliases numpy memory), so acquire()
+    hands out an entry only when every array's refcount shows the pool as
+    the sole owner; entries also sit out at least one picture
+    (min-2-deep queue) before reuse.
+    """
+
+    def __init__(self):
+        self._free: dict[tuple, list[dict]] = {}
+
+    def acquire(self, key: tuple) -> dict | None:
+        import sys
+        entries = self._free.get(key)
+        if not entries or len(entries) < 2:
+            return None
+        for i, a in enumerate(entries[:2]):
+            # pool-owned only: dict ref + loop var + getrefcount arg == 3
+            if all(sys.getrefcount(v) == 3 for v in a.values()):
+                return entries.pop(i)
+        return None
+
+    def release(self, key: tuple, arrays: dict) -> None:
+        self._free.setdefault(key, []).append(arrays)
+
+
+def _alloc_arrays(mb_w: int, mb_h: int) -> dict:
+    n = mb_w * mb_h
+    h4, w4 = mb_h * 4, mb_w * 4
+    h2, w2 = mb_h * 2, mb_w * 2
+    z = lambda *shape: np.zeros(shape, np.int32)
+    # NOTE: every array starts all-zero; h264e_reset_pic establishes the
+    # -1 / sentinel initial values (and is a no-op on the residual arrays
+    # here because a zero buffer records no previously-coded blocks).
+    return {
+        "kind": z(n), "cat": z(n), "qp": z(n), "tr8": z(n),
+        "nz": z(n, 4, 4), "slice_id": z(n), "disable_idc": z(n),
+        "alpha_off": z(n), "beta_off": z(n),
+        "luma4": z(n, 16, 4, 4), "luma8": z(n, 4, 8, 8),
+        "luma_dc": z(n, 4, 4), "chroma_dc": z(n, 2, 2, 2),
+        "chroma_ac": z(n, 2, 2, 2, 4, 4),
+        "i4_modes": z(n, 16), "i8_modes": z(n, 4),
+        "i16_mode": z(n), "chroma_mode": z(n),
+        "i4_avail": z(n, 16, 4), "i8_avail": z(n, 4, 4),
+        "mb_avail": z(n, 3), "pcm": z(n, 384),
+        "mv": z(n, 4, 4, 2, 2),
+        "refidx": z(n, 4, 4, 2),
+        "refslot": z(n, 4, 4, 2), "refid": z(n, 4, 4, 2),
+        "wp": z(n, 4, 4, 2, 3, 2), "logwd": z(n, 2),
+        "cbp": z(n, 2),
+        "tc_luma": z(h4, w4), "tc_cb": z(h2, w2), "tc_cr": z(h2, w2),
+        "mode_map": z(h4, w4),
+        "slice_map": z(mb_h, mb_w),
+        "mv_grid": z(2, h4, w4, 2),
+        "ref_grid": z(2, h4, w4),
+        "order_grid": z(h4, w4),
+        "direct_grid": z(h4, w4),
+        "cbf_luma": z(h4, w4), "cbf_luma_dc": z(mb_h, mb_w),
+        "cbf_cdc": z(2, mb_h, mb_w), "cbf_cac": z(2, h2, w2),
+        "mvd_grid": z(2, h4, w4, 2),
+        "_wp_identity": np.zeros(1, np.int32),  # 1 = wp/logwd are identity
+    }
+
+
 class CppPictureParse:
     """C++-backed per-picture parse state (drop-in for api.Decoder)."""
 
-    def __init__(self, sps: SPS, pps: PPS):
+    def __init__(self, sps: SPS, pps: PPS, pool: PicBufPool | None = None):
         self.sps, self.pps = sps, pps
         self.mb_w = sps.pic_width_in_mbs
         self.mb_h = sps.pic_height_in_map_units
-        n = self.mb_w * self.mb_h
-        h4, w4 = self.mb_h * 4, self.mb_w * 4
-        h2, w2 = self.mb_h * 2, self.mb_w * 2
         self.headers: list[SliceHeader] = []
         self.slice_reflists: list[tuple] = []
-        z = lambda *shape: np.zeros(shape, np.int32)
-        self.a = a = {
-            "kind": z(n), "cat": z(n), "qp": z(n), "tr8": z(n),
-            "nz": z(n, 4, 4), "slice_id": z(n), "disable_idc": z(n),
-            "alpha_off": z(n), "beta_off": z(n),
-            "luma4": z(n, 16, 4, 4), "luma8": z(n, 4, 8, 8),
-            "luma_dc": z(n, 4, 4), "chroma_dc": z(n, 2, 2, 2),
-            "chroma_ac": z(n, 2, 2, 2, 4, 4),
-            "i4_modes": np.full((n, 16), 2, np.int32),
-            "i8_modes": np.full((n, 4), 2, np.int32),
-            "i16_mode": z(n), "chroma_mode": z(n),
-            "i4_avail": z(n, 16, 4), "i8_avail": z(n, 4, 4),
-            "mb_avail": z(n, 3), "pcm": z(n, 384),
-            "mv": z(n, 4, 4, 2, 2),
-            "refidx": np.full((n, 4, 4, 2), -1, np.int32),
-            "cbp": z(n, 2),
-            "tc_luma": z(h4, w4), "tc_cb": z(h2, w2), "tc_cr": z(h2, w2),
-            "mode_map": np.full((h4, w4), -1, np.int32),
-            "slice_map": np.full((self.mb_h, self.mb_w), -1, np.int32),
-            "mv_grid": z(2, h4, w4, 2),
-            "ref_grid": np.full((2, h4, w4), -1, np.int32),
-            "order_grid": np.full((h4, w4), 1 << 30, np.int32),
-            "direct_grid": z(h4, w4),
-            "cbf_luma": z(h4, w4), "cbf_luma_dc": z(self.mb_h, self.mb_w),
-            "cbf_cdc": z(2, self.mb_h, self.mb_w), "cbf_cac": z(2, h2, w2),
-            "mvd_grid": z(2, h4, w4, 2),
-        }
+        self._pool = pool
+        self._pool_key = (self.mb_w, self.mb_h)
+        a = pool.acquire(self._pool_key) if pool is not None else None
+        if a is None:
+            a = _alloc_arrays(self.mb_w, self.mb_h)
+        self.a = a
         self.pb = _PicBuf(
             mb_w=self.mb_w, mb_h=self.mb_h,
             transform_8x8_mode=pps.transform_8x8_mode_flag,
@@ -172,7 +223,9 @@ class CppPictureParse:
                 ("i16_mode", "i16_mode"), ("chroma_mode", "chroma_mode"),
                 ("i4_avail", "i4_avail"), ("i8_avail", "i8_avail"),
                 ("mb_avail", "mb_avail"), ("pcm", "pcm"), ("mv", "mv"),
-                ("refidx", "refidx"), ("cbp", "cbp"), ("tc_luma", "tc_luma"),
+                ("refidx", "refidx"), ("cbp", "cbp"),
+                ("refslot", "refslot"), ("refid", "refid"),
+                ("tc_luma", "tc_luma"),
                 ("tc_cb", "tc_cb"), ("tc_cr", "tc_cr"),
                 ("mode_map", "mode_map"), ("slice_map", "slice_map"),
                 ("mv_grid", "mv_grid"), ("ref_grid", "ref_grid"),
@@ -181,7 +234,15 @@ class CppPictureParse:
                 ("cbf_cdc", "cbf_cdc"), ("cbf_cac", "cbf_cac"),
                 ("mvd_grid", "mvd_grid")):
             setattr(self.pb, name, _ptr(a[key]))
+        load_lib().h264e_reset_pic(C.byref(self.pb))
         self._keepalive = []
+
+    def retire(self) -> None:
+        """Return the arrays to the pool (caller: api.Decoder, once the
+        picture is committed and its device upload dispatched)."""
+        if self._pool is not None and self.a is not None:
+            self._pool.release(self._pool_key, self.a)
+            self.a = None
 
     def parse_slice(self, r, hdr: SliceHeader, reflists=((), ()),
                     cur_poc: int = 0) -> None:
@@ -220,10 +281,12 @@ class CppPictureParse:
             poc = np.array([p.poc for p in lref], np.int32)
             lt = np.array([p.long_term for p in lref], np.uint8)
             uid = np.array([p.uid for p in lref], np.int32)
-            keep += [poc, lt, uid]
+            slot = np.array([p.slot for p in lref], np.int32)
+            keep += [poc, lt, uid, slot]
             setattr(sp, f"{lname}_poc", _ptr(poc) if len(lref) else None)
             setattr(sp, f"{lname}_lt", _ptr(lt) if len(lref) else None)
             setattr(sp, f"{lname}_uid", _ptr(uid) if len(lref) else None)
+            setattr(sp, f"{lname}_slot", _ptr(slot) if len(lref) else None)
             setattr(sp, f"{lname}_len", len(lref))
         self._keepalive.append(keep)
         data = r.data
@@ -261,9 +324,14 @@ class CppPictureParse:
 
 
 def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
-    """FrameABI from the C++-filled arrays (mostly zero-copy)."""
+    """FrameABI from the C++-filled arrays (zero-copy).
+
+    refslot/refid are filled by the C++ parser at set_part time; the
+    only remaining Python work is weighted prediction, skipped entirely
+    for unweighted frames (the recycled wp/logwd arrays carry an
+    identity flag so they are only rewritten after a weighted frame).
+    """
     a = pic.a
-    n = pic.mb_w * pic.mb_h
     abi = FrameABI(
         kind=a["kind"], qp=a["qp"], luma4=a["luma4"], luma8=a["luma8"],
         luma_dc=a["luma_dc"], chroma_dc=a["chroma_dc"],
@@ -274,13 +342,31 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
         nz=a["nz"], tr8=a["tr8"], slice_id=a["slice_id"],
         disable_idc=a["disable_idc"], alpha_off=a["alpha_off"],
         beta_off=a["beta_off"], mv=a["mv"],
-        refid=np.full((n, 4, 4, 2), -1, np.int32),
-        refslot=np.full((n, 4, 4, 2), -1, np.int32),
-        wp=np.zeros((n, 4, 4, 2, 3, 2), np.int32),
-        logwd=np.zeros((n, 2), np.int32),
+        refid=a["refid"], refslot=a["refslot"],
+        wp=a["wp"], logwd=a["logwd"],
         mb_w=pic.mb_w, mb_h=pic.mb_h,
     )
+
+    def slice_weight_kinds(hdr):
+        weighted_p = bool(pic.pps.weighted_pred_flag) and hdr.is_p
+        weighted_b = pic.pps.weighted_bipred_idc == 1 and hdr.is_b
+        implicit_b = pic.pps.weighted_bipred_idc == 2 and hdr.is_b
+        return weighted_p, weighted_b, implicit_b
+
+    any_weighted = any(any(slice_weight_kinds(h)) for h in pic.headers)
+    if not any_weighted:
+        if not a["_wp_identity"][0]:
+            abi["wp"].fill(0)
+            abi["wp"][..., 0] = 1
+            abi["logwd"].fill(0)
+            a["_wp_identity"][0] = 1
+        return abi
+
+    # weighted frame: start from identity, then fill per slice
+    abi["wp"].fill(0)
     abi["wp"][..., 0] = 1
+    abi["logwd"].fill(0)
+    a["_wp_identity"][0] = 0
     ridx = a["refidx"]                       # [n,4,4,2]
     valid = ridx >= 0
     sid = a["slice_id"]
@@ -290,19 +376,7 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
         if not msel.any():
             continue
         lists = pic.slice_reflists[s]
-        weighted_p = bool(pic.pps.weighted_pred_flag) and hdr.is_p
-        weighted_b = pic.pps.weighted_bipred_idc == 1 and hdr.is_b
-        implicit_b = pic.pps.weighted_bipred_idc == 2 and hdr.is_b
-        for lst, lref in enumerate(lists):
-            if not len(lref):
-                continue
-            uids = np.array([p.uid for p in lref], np.int32)
-            slots = np.array([p.slot for p in lref], np.int32)
-            r_ = ridx[..., lst]
-            sel = msel[:, None, None] & valid[..., lst] & (r_ < len(lref))
-            rc = np.clip(r_, 0, len(lref) - 1)
-            abi["refid"][..., lst][sel] = uids[rc][sel]
-            abi["refslot"][..., lst][sel] = slots[rc][sel]
+        weighted_p, weighted_b, implicit_b = slice_weight_kinds(hdr)
         if weighted_p or weighted_b:
             abi["logwd"][msel] = [hdr.luma_log2_weight_denom,
                                   hdr.chroma_log2_weight_denom]

@@ -188,6 +188,7 @@ class BatchDecoder:
                 self._dpb_y, self._dpb_c,
                 jax.device_put(jnp.asarray(store_slots), self._sharding),
                 yb, cbb, crb)
+            abis.clear()   # release ABI views so parse buffers can recycle
             for i in live:
                 if self.errors[i] is None:
                     pending[i] = None

@@ -321,6 +321,8 @@ struct PicBuf {
   int32_t* mv;           // [n,4,4,2,2]
   int32_t* refidx;       // [n,4,4,2]
   int32_t* cbp;          // [n,2]
+  int32_t* refslot;      // [n,4,4,2] device DPB slot per cell (-1 unused)
+  int32_t* refid;        // [n,4,4,2] unique picture uid per cell (-1)
   // state grids
   int32_t* tc_luma;      // [h4,w4]
   int32_t* tc_cb;        // [h2,w2]
@@ -360,6 +362,7 @@ struct SliceParams {
   int32_t l0_len;
   const int32_t* l1_poc; const uint8_t* l1_lt; const int32_t* l1_uid;
   int32_t l1_len;
+  const int32_t* l0_slot; const int32_t* l1_slot;  // device DPB slot per idx
 };
 
 // ---------------------------------------------------------------------------
@@ -679,6 +682,18 @@ struct Parser {
   void set_part(int addr, int lst, int x0, int y0, int w, int h, int ref,
                 int mvx, int mvy) {
     int bx0 = x0 >> 2, by0 = y0 >> 2;
+    // resolve ref idx -> device DPB slot / picture uid once per partition
+    // (the ABI refslot/refid arrays used to be filled in Python per frame)
+    int slot = -1, uid = -1;
+    if (ref >= 0) {
+      int len = lst == 0 ? sp->l0_len : sp->l1_len;
+      if (ref < len) {
+        const int32_t* slots = lst == 0 ? sp->l0_slot : sp->l1_slot;
+        const int32_t* uids = lst == 0 ? sp->l0_uid : sp->l1_uid;
+        if (slots) slot = slots[ref];
+        if (uids) uid = uids[ref];
+      }
+    }
     for (int by = by0; by < by0 + (h >> 2); by++)
       for (int bx = bx0; bx < bx0 + (w >> 2); bx++) {
         pb->ref_grid[lst * h4 * w4 + by * w4 + bx] = ref;
@@ -687,9 +702,12 @@ struct Parser {
         // MB record arrays
         int my = by / 4, mx = bx / 4;
         int ly = by & 3, lx = bx & 3;
-        int32_t* mvp = pb->mv + ((((int64_t)(my * mb_w + mx) * 4 + ly) * 4 + lx) * 2 + lst) * 2;
+        int64_t cell = ((int64_t)(my * mb_w + mx) * 4 + ly) * 4 + lx;
+        int32_t* mvp = pb->mv + (cell * 2 + lst) * 2;
         mvp[0] = mvx; mvp[1] = mvy;
-        pb->refidx[(((int64_t)(my * mb_w + mx) * 4 + ly) * 4 + lx) * 2 + lst] = ref;
+        pb->refidx[cell * 2 + lst] = ref;
+        pb->refslot[cell * 2 + lst] = slot;
+        pb->refid[cell * 2 + lst] = uid;
         (void)addr;
       }
   }
