@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ops.abi import KIND_I16, KIND_P
+from .ops.abi import CONCEAL_SLICE, KIND_I16, KIND_P
 
 
 def slice_coverage(pic) -> np.ndarray:
@@ -49,9 +49,16 @@ def conceal_abi(abi, covered: np.ndarray, ref_slot: int) -> int:
         abi["refslot"][idx, :, :, 0] = ref_slot
         abi["refid"][idx] = -1
         abi["refid"][idx, :, :, 0] = 0
-        abi["wp"][idx] = 0
-        abi["wp"][idx, ..., 0] = 1       # identity weights
-        abi["logwd"][idx] = 0
+        # identity weights: route through the reserved all-identity weight
+        # table row (concealment has no bit-exactness contract, and
+        # disable_idc above keeps deblock off these MBs)
+        abi["refidx"][idx] = -1
+        abi["refidx"][idx, :, :, 0] = 0
+        abi["slice_id"][idx] = CONCEAL_SLICE
+        abi["wtab"][CONCEAL_SLICE] = 0
+        abi["wtab"][CONCEAL_SLICE, ..., 0] = 1
+        abi["wtab"][CONCEAL_SLICE, ..., 2] = 1
+        abi["slogwd"][CONCEAL_SLICE] = 0
     else:
         abi["kind"][idx] = KIND_I16
         abi["i16_mode"][idx] = 2         # DC

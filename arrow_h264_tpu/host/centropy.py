@@ -175,7 +175,6 @@ def _alloc_arrays(mb_w: int, mb_h: int) -> dict:
         "mv": z(n, 4, 4, 2, 2),
         "refidx": z(n, 4, 4, 2),
         "refslot": z(n, 4, 4, 2), "refid": z(n, 4, 4, 2),
-        "wp": z(n, 4, 4, 2, 3, 2), "logwd": z(n, 2),
         "cbp": z(n, 2),
         "tc_luma": z(h4, w4), "tc_cb": z(h2, w2), "tc_cr": z(h2, w2),
         "mode_map": z(h4, w4),
@@ -187,7 +186,6 @@ def _alloc_arrays(mb_w: int, mb_h: int) -> dict:
         "cbf_luma": z(h4, w4), "cbf_luma_dc": z(mb_h, mb_w),
         "cbf_cdc": z(2, mb_h, mb_w), "cbf_cac": z(2, h2, w2),
         "mvd_grid": z(2, h4, w4, 2),
-        "_wp_identity": np.zeros(1, np.int32),  # 1 = wp/logwd are identity
     }
 
 
@@ -326,11 +324,11 @@ class CppPictureParse:
 def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
     """FrameABI from the C++-filled arrays (zero-copy).
 
-    refslot/refid are filled by the C++ parser at set_part time; the
-    only remaining Python work is weighted prediction, skipped entirely
-    for unweighted frames (the recycled wp/logwd arrays carry an
-    identity flag so they are only rewritten after a weighted frame).
+    refslot/refid are filled by the C++ parser at set_part time; weighted
+    prediction ships as compact per-slice tables (ops.abi.fill_weight_tables)
+    resolved to per-cell weights on device (models.pipeline.resolve_weights).
     """
+    from ..ops.abi import MAX_SLICES, fill_weight_tables, identity_wtab
     a = pic.a
     abi = FrameABI(
         kind=a["kind"], qp=a["qp"], luma4=a["luma4"], luma8=a["luma8"],
@@ -342,73 +340,11 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
         nz=a["nz"], tr8=a["tr8"], slice_id=a["slice_id"],
         disable_idc=a["disable_idc"], alpha_off=a["alpha_off"],
         beta_off=a["beta_off"], mv=a["mv"],
-        refid=a["refid"], refslot=a["refslot"],
-        wp=a["wp"], logwd=a["logwd"],
+        refid=a["refid"], refslot=a["refslot"], refidx=a["refidx"],
+        wtab=identity_wtab(),
+        slogwd=np.zeros((MAX_SLICES, 2), np.int32),
         mb_w=pic.mb_w, mb_h=pic.mb_h,
     )
-
-    def slice_weight_kinds(hdr):
-        weighted_p = bool(pic.pps.weighted_pred_flag) and hdr.is_p
-        weighted_b = pic.pps.weighted_bipred_idc == 1 and hdr.is_b
-        implicit_b = pic.pps.weighted_bipred_idc == 2 and hdr.is_b
-        return weighted_p, weighted_b, implicit_b
-
-    any_weighted = any(any(slice_weight_kinds(h)) for h in pic.headers)
-    if not any_weighted:
-        if not a["_wp_identity"][0]:
-            abi["wp"].fill(0)
-            abi["wp"][..., 0] = 1
-            abi["logwd"].fill(0)
-            a["_wp_identity"][0] = 1
-        return abi
-
-    # weighted frame: start from identity, then fill per slice
-    abi["wp"].fill(0)
-    abi["wp"][..., 0] = 1
-    abi["logwd"].fill(0)
-    a["_wp_identity"][0] = 0
-    ridx = a["refidx"]                       # [n,4,4,2]
-    valid = ridx >= 0
-    sid = a["slice_id"]
-    from ..oracle.reconstruct import implicit_weights
-    for s, hdr in enumerate(pic.headers):
-        msel = sid == s
-        if not msel.any():
-            continue
-        lists = pic.slice_reflists[s]
-        weighted_p, weighted_b, implicit_b = slice_weight_kinds(hdr)
-        if weighted_p or weighted_b:
-            abi["logwd"][msel] = [hdr.luma_log2_weight_denom,
-                                  hdr.chroma_log2_weight_denom]
-            for lst, pws in ((0, hdr.pred_weights_l0), (1, hdr.pred_weights_l1)):
-                if not pws:
-                    continue
-                w_tab = np.array(
-                    [[(pw.luma_weight, pw.luma_offset),
-                      (pw.chroma_weight[0], pw.chroma_offset[0]),
-                      (pw.chroma_weight[1], pw.chroma_offset[1])]
-                     for pw in pws], np.int32)        # [nref,3,2]
-                r_ = ridx[..., lst]
-                sel = msel[:, None, None] & valid[..., lst] & (r_ < len(pws))
-                rc = np.clip(r_, 0, len(pws) - 1)
-                abi["wp"][..., lst, :, :][sel] = w_tab[rc][sel]
-        elif implicit_b:
-            abi["logwd"][msel] = [5, 5]
-            wsel = msel[:, None, None]
-            abi["wp"][..., 0][wsel & np.ones_like(valid[..., 0], bool)] = 32
-            l0, l1 = lists
-            both = valid[..., 0] & valid[..., 1] & msel[:, None, None]
-            if both.any():
-                # per (r0, r1) pair weight table
-                wtab = np.zeros((len(l0), len(l1), 2), np.int32)
-                for i0, p0 in enumerate(l0):
-                    for i1, p1 in enumerate(l1):
-                        wtab[i0, i1] = implicit_weights(cur_poc, p0, p1)
-                r0 = np.clip(ridx[..., 0], 0, len(l0) - 1)
-                r1 = np.clip(ridx[..., 1], 0, len(l1) - 1)
-                w0 = wtab[r0, r1, 0]
-                w1 = wtab[r0, r1, 1]
-                for pl in range(3):
-                    abi["wp"][..., 0, pl, 0][both] = w0[both]
-                    abi["wp"][..., 1, pl, 0][both] = w1[both]
+    fill_weight_tables(abi, pic.pps, pic.headers, pic.slice_reflists,
+                       cur_poc)
     return abi

@@ -27,9 +27,15 @@ Layout (per frame; the stream batch dimension B is added by stacking):
   mv          [nMB,4,4,2,2] int32   (y4,x4,list,(x,y))  inter only
   refid       [nMB,4,4,2]   int32   unique DPB picture id, -1 unused (deblock)
   refslot     [nMB,4,4,2]   int32   device DPB slot, -1 unused (MC gather)
-  wp          [nMB,4,4,2,3,2] int32 weighted-pred (list, plane y/cb/cr, (w,o));
-                                    identity (1, 0) when weighting is off
-  logwd       [nMB,2] int32         (luma, chroma) log2 weight denominators
+  refidx      [nMB,4,4,2]   int32   slice ref-list index, -1 unused (weights)
+  wtab        [MAX_SLICES,33,33,3,4] int16  per-slice weight table indexed by
+                                    (refidx_l0+1, refidx_l1+1, plane):
+                                    (w0, o0, w1, o1); row/col 0 = unused list
+                                    = identity.  Resolved to per-cell weights
+                                    on DEVICE (models.pipeline.resolve_weights)
+                                    — replaces the old dense per-cell wp array
+                                    (6.3MB/frame of host fills + upload).
+  slogwd      [MAX_SLICES,2] int32  per-slice (luma, chroma) log2 weight denom
 
 Reference parity: this replaces the JM-lineage per-MB struct soup
 (`macroblock.c`) with dense tensors (SURVEY.md §2 TPU re-layering).
@@ -47,6 +53,17 @@ from ..mb.types import (
 )
 
 KIND_I4x4, KIND_I8x8, KIND_I16, KIND_IPCM, KIND_P, KIND_B = range(6)
+
+MAX_SLICES = 16   # slices per picture the weight tables cover (reject above)
+CONCEAL_SLICE = MAX_SLICES - 1  # identity weight row used by concealment
+
+
+def identity_wtab() -> np.ndarray:
+    """[MAX_SLICES,33,33,3,4] int16 all-identity weight table."""
+    w = np.zeros((MAX_SLICES, 33, 33, 3, 4), np.int16)
+    w[..., 0] = 1
+    w[..., 2] = 1
+    return w
 
 _CAT_TO_KIND = {MB_I4x4: KIND_I4x4, MB_I8x8: KIND_I8x8,
                 MB_I16x16: KIND_I16, MB_IPCM: KIND_IPCM,
@@ -106,11 +123,11 @@ def empty_frame_abi(mb_w: int, mb_h: int) -> FrameABI:
         mv=np.zeros((n, 4, 4, 2, 2), np.int32),
         refid=np.full((n, 4, 4, 2), -1, np.int32),
         refslot=np.full((n, 4, 4, 2), -1, np.int32),
-        wp=np.zeros((n, 4, 4, 2, 3, 2), np.int32),
-        logwd=np.zeros((n, 2), np.int32),
+        refidx=np.full((n, 4, 4, 2), -1, np.int32),
+        wtab=identity_wtab(),
+        slogwd=np.zeros((MAX_SLICES, 2), np.int32),
         mb_w=mb_w, mb_h=mb_h,
     )
-    abi["wp"][..., 0] = 1  # identity weights by default
     return abi
 
 
@@ -224,45 +241,70 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
                         abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk])
             abi["mv"][addr] = np.moveaxis(mb.mvs, 0, 2)
             ridx = np.moveaxis(mb.refidx, 0, 2).astype(np.int32)  # [4,4,2]
+            abi["refidx"][addr] = ridx
             hdr = pic.headers[mb.slice_id]
             l0, l1 = pic.slice_reflists[mb.slice_id]
-            weighted_p = bool(pic.pps.weighted_pred_flag) and hdr.is_p
-            weighted_b = pic.pps.weighted_bipred_idc == 1 and hdr.is_b
-            implicit_b = pic.pps.weighted_bipred_idc == 2 and hdr.is_b
-            if weighted_p or weighted_b:
-                abi["logwd"][addr] = [hdr.luma_log2_weight_denom,
-                                      hdr.chroma_log2_weight_denom]
-            elif implicit_b:
-                from ..oracle.reconstruct import implicit_weights
-                abi["logwd"][addr] = [5, 5]
-                abi["wp"][addr, :, :, :, :, 0] = 32  # identity at logWD 5
-                for y4 in range(4):
-                    for x4 in range(4):
-                        r0, r1 = int(mb.refidx[0, y4, x4]), int(mb.refidx[1, y4, x4])
-                        if r0 >= 0 and r1 >= 0:
-                            w0, w1 = implicit_weights(cur_poc, l0[r0], l1[r1])
-                            abi["wp"][addr, y4, x4, 0, :, 0] = w0
-                            abi["wp"][addr, y4, x4, 1, :, 0] = w1
-            for lst, lref, pws in ((0, l0, hdr.pred_weights_l0),
-                                   (1, l1, hdr.pred_weights_l1)):
+            for lst, lref in ((0, l0), (1, l1)):
                 if not len(lref):
                     continue
                 uids = np.array([p.uid for p in lref], np.int32)
                 slots = np.array([p.slot for p in lref], np.int32)
                 r_ = ridx[..., lst]
-                valid = r_ >= 0
+                valid = (r_ >= 0) & (r_ < len(lref))
                 rc = np.clip(r_, 0, len(lref) - 1)
                 abi["refid"][addr, :, :, lst] = np.where(valid, uids[rc], -1)
                 abi["refslot"][addr, :, :, lst] = np.where(valid, slots[rc], -1)
-                if (weighted_p and lst == 0) or weighted_b:
-                    for y4 in range(4):
-                        for x4 in range(4):
-                            if r_[y4, x4] >= 0 and r_[y4, x4] < len(pws):
-                                pw = pws[r_[y4, x4]]
-                                abi["wp"][addr, y4, x4, lst, 0] = \
-                                    [pw.luma_weight, pw.luma_offset]
-                                abi["wp"][addr, y4, x4, lst, 1] = \
-                                    [pw.chroma_weight[0], pw.chroma_offset[0]]
-                                abi["wp"][addr, y4, x4, lst, 2] = \
-                                    [pw.chroma_weight[1], pw.chroma_offset[1]]
+    fill_weight_tables(abi, pic.pps, pic.headers, pic.slice_reflists, cur_poc)
     return abi
+
+
+def fill_weight_tables(abi: FrameABI, pps, headers, slice_reflists,
+                       cur_poc: int) -> None:
+    """Per-slice weight tables (spec 8.4.2.3 / 8.4.2.3.1).
+
+    abi["wtab"][s, r0+1, r1+1, plane] = (w0, o0, w1, o1) for slice s; index
+    0 on either ref axis means that list is unused for the cell and holds
+    identity, so the device gather needs no validity masking.
+    """
+    if len(headers) > MAX_SLICES:
+        raise NotImplementedError(
+            f"> {MAX_SLICES} slices per picture (weight tables)")
+    wtab, slogwd = abi["wtab"], abi["slogwd"]
+    for s, hdr in enumerate(headers):
+        l0, l1 = slice_reflists[s]
+        weighted_p = bool(pps.weighted_pred_flag) and hdr.is_p
+        weighted_b = pps.weighted_bipred_idc == 1 and hdr.is_b
+        implicit_b = pps.weighted_bipred_idc == 2 and hdr.is_b
+        if weighted_p or weighted_b:
+            slogwd[s] = [hdr.luma_log2_weight_denom,
+                         hdr.chroma_log2_weight_denom]
+            for lst, pws in ((0, hdr.pred_weights_l0),
+                             (1, hdr.pred_weights_l1)):
+                if not pws or (lst == 1 and not weighted_b):
+                    continue
+                arr = np.array(
+                    [[(pw.luma_weight, pw.luma_offset),
+                      (pw.chroma_weight[0], pw.chroma_offset[0]),
+                      (pw.chroma_weight[1], pw.chroma_offset[1])]
+                     for pw in pws], np.int16)          # [nref,3,2]
+                nr = min(len(pws), 32)
+                if lst == 0:
+                    wtab[s, 1:nr + 1, :, :, 0:2] = arr[:nr, None]
+                else:
+                    wtab[s, :, 1:nr + 1, :, 2:4] = arr[None, :nr]
+        elif implicit_b:
+            from ..oracle.reconstruct import implicit_weights
+            slogwd[s] = [5, 5]
+            wtab[s, ..., 0] = 32        # identity at logWD 5
+            wtab[s, ..., 2] = 32
+            wtab[s, ..., 1] = 0
+            wtab[s, ..., 3] = 0
+            n0, n1 = min(len(l0), 32), min(len(l1), 32)
+            if n0 and n1:
+                pair = np.zeros((n0, n1, 2), np.int16)
+                for i0 in range(n0):
+                    for i1 in range(n1):
+                        pair[i0, i1] = implicit_weights(
+                            cur_poc, l0[i0], l1[i1])
+                wtab[s, 1:n0 + 1, 1:n1 + 1, :, 0] = pair[:, :, None, 0]
+                wtab[s, 1:n0 + 1, 1:n1 + 1, :, 2] = pair[:, :, None, 1]

@@ -4,7 +4,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from .abi import KIND_I4x4, KIND_I16, KIND_P, FrameABI
+from .abi import (
+    MAX_SLICES, KIND_I4x4, KIND_I16, KIND_P, FrameABI, identity_wtab,
+)
 
 
 def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
@@ -38,11 +40,11 @@ def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
         mv=np.zeros((n, 4, 4, 2, 2), np.int32),
         refid=np.full((n, 4, 4, 2), -1, np.int32),
         refslot=np.full((n, 4, 4, 2), -1, np.int32),
-        wp=np.zeros((n, 4, 4, 2, 3, 2), np.int32),
-        logwd=np.zeros((n, 2), np.int32),
+        refidx=np.full((n, 4, 4, 2), -1, np.int32),
+        wtab=identity_wtab(),
+        slogwd=np.zeros((MAX_SLICES, 2), np.int32),
         mb_w=mb_w, mb_h=mb_h,
     )
-    abi["wp"][..., 0] = 1
     # geometric availability (single slice, raster order, no constrained intra)
     for my in range(mb_h):
         for mx in range(mb_w):
@@ -94,12 +96,14 @@ def synthetic_abi_p(mb_w: int, mb_h: int, seed: int = 0, qp: int = 26,
     im = inter[:, None, None]
     base["refslot"][..., 0] = np.where(im, slot, -1)
     base["refid"][..., 0] = np.where(im, slot, -1)
+    base["refidx"][..., 0] = np.where(im, slot, -1)
     if bi_frac > 0:
         bi = (rng.random((n, 4, 4)) < bi_frac) & im
         base["mv"][..., 1, :] = palette[rng.integers(0, n_mv, (n, 4, 4))]
         slot1 = rng.integers(0, n_slots, (n, 4, 4)).astype(np.int32)
         base["refslot"][..., 1] = np.where(bi, slot1, -1)
         base["refid"][..., 1] = np.where(bi, slot1, -1)
+        base["refidx"][..., 1] = np.where(bi, slot1, -1)
     # sparse inter residuals (~2/3 of inter blocks are all-zero)
     zero = rng.random((n, 16)) < 0.66
     base["luma4"][inter] = np.where(zero[inter, :, None, None], 0,
