@@ -98,6 +98,7 @@ class Decoder:
                 entropy = "python"
         self.entropy = entropy
         self._pic_pool = centropy.PicBufPool()
+        self._gap_bumped: list = []
 
     def _pipeline(self, sps: SPS, pps: PPS) -> DevicePipeline:
         key = (sps.seq_parameter_set_id, pps.pic_parameter_set_id,
@@ -180,9 +181,13 @@ class Decoder:
                            else PictureParse(sps, pps))
                     # spec 8.2.5.2: synthesize non-existing refs for
                     # frame_num gaps; bind them to slot 0 so a (non-
-                    # conforming) reference to one stays in bounds.
-                    for gp in self.dpb.fill_frame_num_gaps(hdr):
+                    # conforming) reference to one stays in bounds.  Any
+                    # real output-pending pictures bumped by the gap
+                    # insertion are queued for emission at the next commit.
+                    gap_pics, gap_bumped = self.dpb.fill_frame_num_gaps(hdr)
+                    for gp in gap_pics:
                         gp.slot = 0
+                    self._gap_bumped.extend(gap_bumped)
                     cur_poc = self.dpb.compute_poc(hdr)
                 if cur is None:
                     if self.conceal:
@@ -225,11 +230,15 @@ class Decoder:
         store_ref(slot, y, cb, cr): writes the picture into the device
         DPB slot (single-stream: pipeline.store_ref; batched: the
         stream's lane of the sharded store)."""
+        if self._gap_bumped:
+            for planes in self._gap_bumped:
+                yield self._emit(planes)
+            self._gap_bumped.clear()
         hdr = pic.headers[0]
         # payload keeps DEVICE arrays (no sync): host entropy for the
         # next picture overlaps device reconstruction of this one
         # (SURVEY.md par. row 4); _emit syncs at output time.
-        payload = (y, cb, cr, pic.sps)
+        payload = (y, cb, cr, pic.sps, poc)
         outputs, stored = self.dpb.store(payload, hdr, poc)
         if stored.is_ref:
             stored.col_mv, stored.col_refidx, stored.col_ref_uid = \
@@ -262,12 +271,12 @@ class Decoder:
                                pipeline.store_ref)
 
     def _emit(self, planes) -> Frame:
-        y, cb, cr, sps = planes
+        y, cb, cr, sps, poc = planes
         t0 = time.perf_counter()
         y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
         self.stats.emit_sync_s += time.perf_counter() - t0
         y, cb, cr = crop_planes(sps, y, cb, cr)
-        return Frame(y=y, cb=cb, cr=cr)
+        return Frame(y=y, cb=cb, cr=cr, poc=poc)
 
 
 def decode_annexb(data: bytes):

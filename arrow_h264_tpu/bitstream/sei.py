@@ -108,7 +108,13 @@ def _parse_pic_timing(payload: bytes, sps=None) -> dict:
             if vui.cpb_dpb_delays_present:
                 hrd = vui.nal_hrd if vui.nal_hrd is not None else vui.vcl_hrd
                 tol = hrd.time_offset_length
-            ts["time_offset"] = r.u(tol) if tol else 0
+            # spec D.2.3: time_offset is SIGNED i(v) — sign-extend
+            if tol:
+                v = r.u(tol)
+                ts["time_offset"] = v - (1 << tol) if v >= (1 << (tol - 1)) \
+                    else v
+            else:
+                ts["time_offset"] = 0
             tss.append(ts)
         out["clock_timestamps"] = tss
     return out

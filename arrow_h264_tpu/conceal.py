@@ -41,7 +41,13 @@ def conceal_abi(abi, covered: np.ndarray, ref_slot: int) -> int:
               "nz", "tr8", "pcm"):
         abi[k][idx] = 0
     abi["qp"][idx] = 26
-    abi["disable_idc"][idx] = 1          # no filtering over repairs
+    # no filtering over repairs: disable deblock for the concealed MBs AND
+    # their right/below neighbors — a parsed neighbor owns the shared edge
+    # and would otherwise mix concealed pixels ~3px into the parsed region
+    grow = ~covered
+    grow[:, 1:] |= ~covered[:, :-1]
+    grow[1:, :] |= ~covered[:-1, :]
+    abi["disable_idc"][np.nonzero(grow.reshape(-1))[0]] = 1
     if ref_slot >= 0:
         abi["kind"][idx] = KIND_P
         abi["mv"][idx] = 0

@@ -67,7 +67,7 @@ class _SliceParams(C.Structure):
     ]
 
 
-_lib = None
+_libs: dict = {}
 
 
 def load_lib(sanitize: bool | None = None):
@@ -75,13 +75,14 @@ def load_lib(sanitize: bool | None = None):
 
     sanitize=True (or ARROW_H264_SANITIZE=1) builds with ASAN+UBSAN —
     the library parses untrusted bitstreams (SURVEY.md §5 sanitizers).
-    The sanitized build is a separate .so so both can coexist.
+    The sanitized build is a separate .so so both can coexist; the load
+    cache is keyed by the sanitize flag so requesting the other variant
+    after a first load returns the right build.
     """
-    global _lib
     if sanitize is None:
         sanitize = os.environ.get("ARROW_H264_SANITIZE") == "1"
-    if _lib is not None:
-        return _lib
+    if sanitize in _libs:
+        return _libs[sanitize]
     lib_path = _LIB_PATH
     flags = ["-O3", "-march=native", "-funroll-loops"]
     if sanitize:
@@ -112,7 +113,7 @@ def load_lib(sanitize: bool | None = None):
     lib.h264e_reset_pic.restype = None
     lib.h264e_reset_pic.argtypes = [C.POINTER(_PicBuf)]
     assert lib.h264e_abi_version() == ABI_VERSION
-    _lib = lib
+    _libs[sanitize] = lib
     return lib
 
 

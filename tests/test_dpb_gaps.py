@@ -41,7 +41,8 @@ def test_gap_generates_non_existing_refs():
     dpb.store("f0", h0, dpb.compute_poc(h0))
     # next reference arrives with frame_num 4: gap of 1,2,3
     h4 = _Hdr(4)
-    gen = dpb.fill_frame_num_gaps(h4)
+    gen, bumped = dpb.fill_frame_num_gaps(h4)
+    assert bumped == []
     assert [p.frame_num for p in gen] == [1, 2, 3]
     assert all(p.non_existing and p.is_ref and not p.output_needed
                for p in gen)
@@ -57,9 +58,9 @@ def test_no_gap_no_generation():
     dpb = DPB(_sps())
     h0 = _Hdr(0, is_idr=True)
     dpb.store("f0", h0, dpb.compute_poc(h0))
-    assert dpb.fill_frame_num_gaps(_Hdr(1)) == []
+    assert dpb.fill_frame_num_gaps(_Hdr(1)) == ([], [])
     # same frame_num (second field/non-ref repeat) -> no generation
-    assert dpb.fill_frame_num_gaps(_Hdr(0)) == []
+    assert dpb.fill_frame_num_gaps(_Hdr(0)) == ([], [])
 
 
 def test_gap_disabled_flag():
@@ -68,4 +69,43 @@ def test_gap_disabled_flag():
     dpb = DPB(sps)
     h0 = _Hdr(0, is_idr=True)
     dpb.store("f0", h0, dpb.compute_poc(h0))
-    assert dpb.fill_frame_num_gaps(_Hdr(5)) == []
+    assert dpb.fill_frame_num_gaps(_Hdr(5)) == ([], [])
+
+
+def test_gap_poc_type0_state_untouched():
+    """Advisor r2: gap frames must not run the type-0 POC derivation
+    (it would corrupt prev_poc_msb/lsb for following real pictures)."""
+    sps = _sps()
+    sps.pic_order_cnt_type = 0
+    sps.log2_max_pic_order_cnt_lsb = 4
+    dpb = DPB(sps)
+    h0 = _Hdr(0, is_idr=True)
+    h0.pic_order_cnt_lsb = 0
+    dpb.store("f0", h0, dpb.compute_poc(h0))
+    prev = (dpb.prev_poc_msb, dpb.prev_poc_lsb)
+    gen, _ = dpb.fill_frame_num_gaps(_Hdr(3))
+    assert len(gen) == 2
+    assert (dpb.prev_poc_msb, dpb.prev_poc_lsb) == prev
+
+
+def test_gap_overflow_returns_bumped_outputs():
+    """Advisor r2: output-pending pictures bumped by gap insertion must be
+    returned for emission, not dropped."""
+    sps = _sps()
+    sps.max_num_ref_frames = 2
+    dpb = DPB(sps)
+    dpb.max_dpb_frames = 2
+    h0 = _Hdr(0, is_idr=True, ref=0)
+    h0.nal_ref_idc = 1
+    dpb.store("f0", h0, dpb.compute_poc(h0))
+    # a non-ref output-pending picture fills the DPB
+    h1 = _Hdr(1, ref=0)
+    dpb.store("f1", h1, dpb.compute_poc(h1))
+    pend = [p.planes for p in dpb.pics if p.output_needed]
+    assert pend, "precondition: something is output-pending"
+    gen, bumped = dpb.fill_frame_num_gaps(_Hdr(8))
+    assert len(gen) == 7
+    # every pre-existing output-pending payload was emitted, none dropped
+    for p in pend:
+        still = [q for q in dpb.pics if q.planes is p and q.output_needed]
+        assert still == [] and p in bumped
