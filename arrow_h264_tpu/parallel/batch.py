@@ -17,6 +17,9 @@ records the exception per failed stream.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 
 import jax
@@ -46,6 +49,13 @@ class BatchDecoder:
         self._sharding = NamedSharding(mesh, P("stream"))
         self.errors: list = [None] * n_streams
         self._geom = None
+        # host entropy parse is embarrassingly parallel across streams:
+        # the C++ slice parser runs with the GIL released (ctypes), so
+        # worker threads scale it across host cores (SURVEY.md §2 host
+        # parallelism row).  1 worker on a 1-core host degenerates to the
+        # serial path.
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, min(n_streams, os.cpu_count() or 1)))
 
     @property
     def stats(self):
@@ -111,20 +121,24 @@ class BatchDecoder:
                 gens[i] = None
                 pending[i] = None
 
-        for i in range(B):
-            advance(i)
+        list(self._pool.map(advance, range(B)))
+
+        def pack(i):
+            pic, poc = pending[i]
+            try:
+                return i, self.decoders[i].pack_abi(pic, poc)
+            except Exception as e:
+                self.errors[i] = e
+                gens[i] = None
+                pending[i] = None
+                return i, None
 
         while any(p is not None for p in pending):
             live = [i for i in range(B) if pending[i] is not None]
             abis = {}
-            for i in live:
-                pic, poc = pending[i]
-                try:
-                    abis[i] = self.decoders[i].pack_abi(pic, poc)
-                except Exception as e:
-                    self.errors[i] = e
-                    gens[i] = None
-                    pending[i] = None
+            for i, abi in self._pool.map(pack, live):
+                if abi is not None:
+                    abis[i] = abi
             live = [i for i in live if i in abis]
             if not live:
                 break
@@ -189,10 +203,12 @@ class BatchDecoder:
                 jax.device_put(jnp.asarray(store_slots), self._sharding),
                 yb, cbb, crb)
             abis.clear()   # release ABI views so parse buffers can recycle
-            for i in live:
-                if self.errors[i] is None:
-                    pending[i] = None
-                    advance(i)
+            todo = [i for i in live if self.errors[i] is None]
+            for i in todo:
+                pending[i] = None
+            # parse the next round's pictures across host cores while the
+            # device round above is still executing (pipeline overlap)
+            list(self._pool.map(advance, todo))
 
         for i in range(B):
             if self.errors[i] is None and self.decoders[i].dpb is not None:

@@ -1,23 +1,35 @@
-"""Benchmark: batched 1080p P-frame reconstruction throughput on the chip.
+"""Benchmark: END-TO-END batched 1080p decode throughput on the chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target (BASELINE.md): >= 1000 decoded 1080p frames/sec/chip.
 
-Measures the BATCHED device reconstruction pipeline
-(models.pipeline.decode_frames_batch_fn: per-stream residual + Pallas MC
-+ intra, one lane-packed knight-phase deblock across the whole batch) on
-1080p P-frame MB tensors (~95% inter MBs, realistic MV palette, sparse
-residuals), B concurrent streams on one chip — the config-5 workload.
-Host entropy runs concurrently on CPU cores (see bench_host.py).
+The headline measures the BINDING metric — decoded frames per second
+through `parallel.batch.BatchDecoder` on real x264-encoded 1080p
+High/CABAC streams: host C++ entropy parse -> ABI upload -> sharded
+batched reconstruction (Pallas MC/intra/deblock) -> reference store ->
+output emission, wall-clocked end-to-end with every output frame
+materialized on the host (the emission readback is a real device sync,
+so the axon block_until_ready issue does not apply).
 
-Timing uses tools.devtime (chained iterations + host readback): on this
-tunneled backend block_until_ready returns before execution completes,
-so naive wall-clocks measure dispatch, not device time.
+Extra JSON fields report the two halves separately:
+  device_recon_fps  — device-only reconstruction throughput on synthetic
+                      1080p P-frame ABIs at batch=32 (tools.devtime
+                      chained-slope timing; the round-2 headline metric).
+  host_parse_fps    — the host entropy side alone for the same streams
+                      (this 1-core box; parse scales linearly in cores
+                      via BatchDecoder's parse thread pool).
+  stream_kbit_per_frame — honesty: the measured stream density.
+
+Content: tools/streams.make_content at noise=3, High profile qp=30,
+bf=2 refs=4 — broadcast-grade ~5-15 Mbps 1080p, not the adversarial
+~100 Mbps noise streams (bench_host.py reports that case).
 """
 
 import functools
 import json
+import os
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -29,16 +41,74 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 import numpy as np
 
-from arrow_h264_tpu.models.pipeline import (
-    ABI_DEVICE_KEYS, decode_frames_batch_fn, dpb_alloc, store_ref_fn,
-)
-from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
-from arrow_h264_tpu.ops.transforms import make_ws_consts
-from tools.devtime import devtime
+W, H = 1920, 1088
+N_SRC = 4            # distinct encoded streams
+N_FRAMES = 24        # frames per stream
+BATCH = 32           # concurrent lanes (each source used BATCH//N_SRC times)
 
 
-def main() -> None:
-    mb_w, mb_h = 120, 68           # 1920x1088
+def make_streams():
+    from tools import streams
+    paths = []
+    for s in range(N_SRC):
+        path = f"/tmp/bench_e2e_1080p_s{s}_f{N_FRAMES}.264"
+        if not os.path.exists(path):
+            yuv = streams.make_content(W, H, N_FRAMES, seed=100 + s, noise=3)
+            opts = ["profile=high", "qp=30", "g=250", "bf=2", "refs=4",
+                    "keyint_min=250",
+                    "x264-params=cabac=1:8x8dct=1:weightp=2:weightb=1:"
+                    "b-pyramid=0:" + streams.X264_COMMON]
+            streams.encode(yuv, W, H, path, opts)
+        paths.append(path)
+    return [open(p, "rb").read() for p in paths]
+
+
+def bench_e2e(datas):
+    from arrow_h264_tpu.parallel.batch import BatchDecoder
+    lanes = [datas[i % N_SRC] for i in range(BATCH)]
+    # warmup/compile pass (separate decoder, same geometry + modes)
+    bd = BatchDecoder(n_streams=BATCH)
+    t0 = time.perf_counter()
+    frames = bd.decode(lanes)
+    warm_s = time.perf_counter() - t0
+    n = sum(len(f) for f in frames)
+    errs = [e for e in bd.errors if e is not None]
+    assert not errs, errs[:2]
+    assert n == BATCH * N_FRAMES, (n, BATCH, N_FRAMES)
+    # timed pass, everything warm
+    bd = BatchDecoder(n_streams=BATCH)
+    t0 = time.perf_counter()
+    frames = bd.decode(lanes)
+    dt = time.perf_counter() - t0
+    n = sum(len(f) for f in frames)
+    assert n == BATCH * N_FRAMES, (n, BATCH, N_FRAMES)
+    return n / dt, warm_s, dt
+
+
+def bench_host(datas):
+    """Host entropy side alone (parse + ABI pack, no device)."""
+    from arrow_h264_tpu.api import Decoder
+    zero = (np.zeros((H, W), np.uint8), np.zeros((H // 2, W // 2), np.uint8),
+            np.zeros((H // 2, W // 2), np.uint8))
+    n = 0
+    t0 = time.perf_counter()
+    for data in datas:
+        dec = Decoder(entropy="cpp")
+        for pic, poc in dec.parse_pictures(data):
+            dec.pack_abi(pic, poc)
+            list(dec.commit(pic, poc, *zero, 4, lambda *a: None))
+            n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def bench_device_only():
+    from arrow_h264_tpu.models.pipeline import (
+        ABI_DEVICE_KEYS, decode_frames_batch_fn, dpb_alloc, store_ref_fn,
+    )
+    from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
+    from arrow_h264_tpu.ops.transforms import make_ws_consts
+    from tools.devtime import devtime
+    mb_w, mb_h = 120, 68
     batch = 32
     n_slots = 2
     ws4, ws8 = make_ws_consts([[16] * 16] * 6, [[16] * 64] * 2)
@@ -46,12 +116,10 @@ def main() -> None:
         decode_frames_batch_fn, mb_w=mb_w, mb_h=mb_h,
         ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8), cqp_off=(0, 0),
         n_streams=batch, inter_mode="pl0")
-    abi_b = {}
     hosts = [synthetic_abi_p(mb_w, mb_h, seed=i, n_slots=n_slots)
              for i in range(batch)]
-    for k in ABI_DEVICE_KEYS:
-        abi_b[k] = jnp.asarray(np.stack([h[k] for h in hosts]))
-    H, W = mb_h * 16, mb_w * 16
+    abi_b = {k: jnp.asarray(np.stack([h[k] for h in hosts]))
+             for k in ABI_DEVICE_KEYS}
     rng = np.random.default_rng(0)
     store = jax.jit(store_ref_fn, donate_argnums=(0, 1))
     dpbs = []
@@ -69,13 +137,28 @@ def main() -> None:
     slots = jnp.broadcast_to(
         jnp.asarray(np.array([0, 1, -1, -1], np.int32)), (batch, 4))
     t = devtime(fn, abi_b, dpb_y, dpb_c, slots, n1=2, n2=6)
-    fps = batch / t
+    return batch / t
+
+
+def main() -> None:
+    datas = make_streams()
+    kbit = sum(len(d) for d in datas) * 8 / (N_SRC * N_FRAMES) / 1000
+    dev_fps = bench_device_only()
+    host_fps = bench_host(datas)
+    e2e_fps, warm_s, timed_s = bench_e2e(datas)
     print(json.dumps({
-        "metric": "1080p P-frame device reconstruction frames/sec/chip "
-                  f"(batch={batch} streams)",
-        "value": round(fps, 2),
+        "metric": "1080p decoded frames/sec/chip, end-to-end batched "
+                  f"(host parse + upload + recon + store + emit, "
+                  f"batch={BATCH} real High/CABAC streams)",
+        "value": round(e2e_fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 1000.0, 4),
+        "vs_baseline": round(e2e_fps / 1000.0, 4),
+        "device_recon_fps": round(dev_fps, 2),
+        "host_parse_fps": round(host_fps, 2),
+        "host_cores": os.cpu_count(),
+        "stream_kbit_per_frame": round(kbit, 1),
+        "warmup_s": round(warm_s, 1),
+        "timed_s": round(timed_s, 1),
     }))
 
 

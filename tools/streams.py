@@ -17,7 +17,7 @@ H264REF = REPO / "tools" / "h264ref"
 
 
 def make_content(width: int, height: int, n_frames: int, seed: int = 0,
-                 motion: bool = True) -> np.ndarray:
+                 motion: bool = True, noise: int = 12) -> np.ndarray:
     """Synthesize YUV420 content with gradients, texture, edges, and motion.
 
     Returns uint8 array of shape [n, h*w*3//2] (planar YUV420 per frame).
@@ -36,8 +36,13 @@ def make_content(width: int, height: int, n_frames: int, seed: int = 0,
         sx, sy = (37 + 4 * i) % max(1, width - 40), (23 + 3 * i) % max(1, height - 40)
         y[sy:sy + 32, sx:sx + 32] = 235
         y[sy + 8:sy + 24, sx + 8:sx + 24] = 16
-        # per-frame noise so residuals are non-trivial
-        y = np.clip(y + rng.integers(-12, 13, y.shape), 0, 255).astype(np.uint8)
+        # per-frame noise so residuals are non-trivial (noise=12 is
+        # adversarially dense under qp26; ~3 models clean camera content)
+        if noise:
+            y = np.clip(y + rng.integers(-noise, noise + 1, y.shape),
+                        0, 255).astype(np.uint8)
+        else:
+            y = np.clip(y, 0, 255).astype(np.uint8)
         u = ((xx // 2 + dy) % 256)[::2, ::2].astype(np.uint8)
         v = ((yy // 2 + dx) % 256)[::2, ::2].astype(np.uint8)
         frames.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
