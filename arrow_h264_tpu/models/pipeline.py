@@ -165,25 +165,22 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
                            pallas: bool | None = None,
                            inter_mode: str = "none"):
     """Batched decode: [B, ...] stacked ABIs + per-stream DPBs -> stacked
-    uint8 planes.  Residual/MC/intra run per stream; the knight-phase
-    deblock runs ONCE over the lane-packed batch (its per-batch cost is
-    near-constant in B, so batching amortizes it linearly — the
-    SURVEY.md §2 stream-batch axis)."""
+    uint8 planes.  Residual/MC/intra vmap over the stream axis (ONE
+    traced body regardless of B — the round-2 unrolled loop compiled the
+    whole pipeline B times); the knight-phase deblock runs ONCE over the
+    lane-packed batch (its per-batch cost is near-constant in B, so
+    batching amortizes it linearly — the SURVEY.md §2 stream-batch
+    axis)."""
+    del n_streams
     if pallas is None:
         pallas = _use_pallas()
-    pre = []
-    for i in range(n_streams):
-        abi_i = {k: v[i] for k, v in abi_b.items()}
-        pre.append(_reconstruct_fn(
-            abi_i, dpb_y_b[i], dpb_c_b[i], slots_b[i], mb_w=mb_w,
-            mb_h=mb_h, ws4=ws4, ws8=ws8, cqp_off=cqp_off, pallas=pallas,
-            inter_mode=inter_mode))
+    fn = functools.partial(_reconstruct_fn, mb_w=mb_w, mb_h=mb_h, ws4=ws4,
+                           ws8=ws8, cqp_off=cqp_off, pallas=pallas,
+                           inter_mode=inter_mode)
+    out = jax.vmap(fn)(abi_b, dpb_y_b, dpb_c_b, slots_b)
     if not pallas:
-        return tuple(jnp.stack(o) for o in zip(*pre))
-    ys = jnp.stack([o[0] for o in pre])
-    cbs = jnp.stack([o[1] for o in pre])
-    crs = jnp.stack([o[2] for o in pre])
-    tb = {k: jnp.stack([o[3][k] for o in pre]) for k in pre[0][3]}
+        return out
+    ys, cbs, crs, tb = out
     yb, cbb, crb = deblock_phase_batch(ys, cbs, crs, tb, mb_w, mb_h)
     return (yb.astype(jnp.uint8), cbb.astype(jnp.uint8),
             crb.astype(jnp.uint8))
