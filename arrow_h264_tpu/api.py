@@ -258,8 +258,11 @@ class Decoder:
         if self.conceal:
             cov = slice_coverage(pic)
             if not cov.all():
+                from .conceal import nearest_ref_pic
+                ref = nearest_ref_pic(self.dpb, poc)
                 n = conceal_abi(abi, cov,
-                                nearest_ref_slot(self.dpb, poc))
+                                -1 if ref is None else ref.slot,
+                                col_mv=getattr(ref, "col_mv", None))
                 self.concealed.append((self._frame_idx - 1, n))
                 self.stats.concealed_mbs += n
         pipeline = self._pipeline(pic.sps, pic.pps)

@@ -27,9 +27,14 @@ def slice_coverage(pic) -> np.ndarray:
     return np.asarray(sm) >= 0
 
 
-def conceal_abi(abi, covered: np.ndarray, ref_slot: int) -> int:
+def conceal_abi(abi, covered: np.ndarray, ref_slot: int,
+                col_mv: np.ndarray | None = None) -> int:
     """Patch uncovered MBs in-place.  ref_slot: device DPB slot of the
     nearest reference picture, or -1 if none (intra DC fill).
+    col_mv: optional [h4, w4, 2] co-located motion field of that
+    reference — concealed MBs then copy the co-located motion instead of
+    zero-MV frame copy (JM-lineage erc motion extrapolation: a panning
+    scene keeps moving through the repair instead of freezing).
     Returns the number of concealed MBs."""
     miss = ~covered.reshape(-1)
     n_miss = int(miss.sum())
@@ -51,6 +56,15 @@ def conceal_abi(abi, covered: np.ndarray, ref_slot: int) -> int:
     if ref_slot >= 0:
         abi["kind"][idx] = KIND_P
         abi["mv"][idx] = 0
+        if col_mv is not None:
+            # co-located 4x4 motion, regrouped to [nMB, 4, 4, 2]
+            h4, w4 = col_mv.shape[:2]
+            mb_h, mb_w = h4 // 4, w4 // 4
+            per_mb = (np.asarray(col_mv, np.int32)
+                      .reshape(mb_h, 4, mb_w, 4, 2)
+                      .transpose(0, 2, 1, 3, 4)
+                      .reshape(mb_h * mb_w, 4, 4, 2))
+            abi["mv"][idx, :, :, 0, :] = per_mb[idx]
         abi["refslot"][idx] = -1
         abi["refslot"][idx, :, :, 0] = ref_slot
         abi["refid"][idx] = -1
@@ -75,8 +89,14 @@ def conceal_abi(abi, covered: np.ndarray, ref_slot: int) -> int:
 
 def nearest_ref_slot(dpb, poc: int) -> int:
     """Device slot of the reference picture nearest in POC; -1 if none."""
+    p = nearest_ref_pic(dpb, poc)
+    return -1 if p is None else p.slot
+
+
+def nearest_ref_pic(dpb, poc: int):
+    """The reference picture nearest in POC, or None."""
     cands = [p for p in dpb.pics
              if p.is_ref and p.slot >= 0 and not p.non_existing]
     if not cands:
-        return -1
-    return min(cands, key=lambda p: abs(p.poc - poc)).slot
+        return None
+    return min(cands, key=lambda p: abs(p.poc - poc))

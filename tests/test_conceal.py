@@ -82,3 +82,27 @@ def test_no_conceal_still_raises(h264ref, tmp_path):
     bad = data[:len(data) - 40] + b"\x55" * 8
     with pytest.raises(Exception):
         list(Decoder(conceal=False).decode_annexb(bad))
+
+
+def test_motion_copy_concealment_unit():
+    """conceal_abi copies the co-located motion field into repaired MBs
+    (JM erc motion extrapolation) when the nearest ref provides one."""
+    from arrow_h264_tpu.conceal import conceal_abi
+    from arrow_h264_tpu.ops.abi import KIND_P, empty_frame_abi
+    mb_w, mb_h = 4, 3
+    abi = empty_frame_abi(mb_w, mb_h)
+    covered = np.ones((mb_h, mb_w), bool)
+    covered[1, :] = False                       # middle MB row lost
+    col = np.zeros((mb_h * 4, mb_w * 4, 2), np.int32)
+    col[..., 0] = 8                             # uniform pan +2px
+    col[..., 1] = -4
+    n = conceal_abi(abi, covered, ref_slot=1, col_mv=col)
+    assert n == mb_w
+    lost = np.arange(mb_w, 2 * mb_w)
+    assert (abi["kind"][lost] == KIND_P).all()
+    assert (abi["mv"][lost, :, :, 0, 0] == 8).all()
+    assert (abi["mv"][lost, :, :, 0, 1] == -4).all()
+    assert (abi["refslot"][lost, :, :, 0] == 1).all()
+    # parsed MBs untouched
+    kept = np.arange(0, mb_w)
+    assert (abi["mv"][kept] == 0).all()
