@@ -22,7 +22,8 @@ from .bitstream.params import parse_sps
 
 def _cmd_decode(args: argparse.Namespace) -> int:
     data = open(args.input, "rb").read()
-    dec = Decoder(entropy=args.entropy, trace=args.trace)
+    dec = Decoder(entropy=args.entropy, trace=args.trace,
+                  trace_se=args.trace_se)
     n = 0
     w = h = 0
     t0 = time.perf_counter()
@@ -89,6 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--ref", help="reference YUV to compare bit-exactly")
     d.add_argument("--entropy", choices=("cpp", "python"), default="cpp")
     d.add_argument("--trace", help="write per-slice/per-MB JSONL decode trace")
+    d.add_argument("--trace-se", dest="trace_se",
+                   help="write the syntax-element-level entropy trace "
+                        "(JM trace_dec.txt analog; forces python entropy)")
     d.set_defaults(fn=_cmd_decode)
     i = sub.add_parser("info", help="print stream structure")
     i.add_argument("input")

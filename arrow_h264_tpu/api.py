@@ -31,8 +31,12 @@ from .mb.parse import PictureParse
 from .models.pipeline import DevicePipeline
 from .oracle.decoder import crop_planes
 from .ops.abi import pack_frame
+from .bitstream.bits import TracingBitReader
 from .conceal import conceal_abi, nearest_ref_slot, slice_coverage
-from .trace import trace_frame_abi, trace_slice_header, trace_target
+from .trace import (
+    dump_se_log, trace_frame_abi, trace_se_target, trace_slice_header,
+    trace_target,
+)
 
 
 @dataclass
@@ -79,8 +83,13 @@ class Decoder:
     """
 
     def __init__(self, entropy: str = "cpp", trace=None,
-                 conceal: bool = False) -> None:
+                 conceal: bool = False, trace_se=None) -> None:
         self._trace = trace_target(trace)
+        self._trace_se = trace_se_target(trace_se)
+        if self._trace_se is not None:
+            # SE-level tracing hooks the pure-Python entropy layers
+            # (the differential oracle); the C++ parser has no hooks
+            entropy = "python"
         self._frame_idx = 0
         self.conceal = conceal
         self.concealed: list[tuple[int, int]] = []
@@ -155,7 +164,9 @@ class Decoder:
                     r2.ue()
                     pps = self.pps_map[r2.ue()]
                     sps = self.sps_map[pps.seq_parameter_set_id]
-                    r = BitReader(u.rbsp)
+                    se_log: list = []
+                    r = (TracingBitReader(u.rbsp, se_log)
+                         if self._trace_se is not None else BitReader(u.rbsp))
                     hdr = parse_slice_header(r, sps, pps, u.nal_unit_type,
                                              u.nal_ref_idc)
                 except Exception:
@@ -203,6 +214,9 @@ class Decoder:
                         trace_slice_header(self._trace, hdr, cur_poc,
                                            self._frame_idx)
                     cur.parse_slice(r, hdr, reflists, cur_poc)
+                    if self._trace_se is not None:
+                        dump_se_log(self._trace_se, se_log, self._frame_idx,
+                                    len(cur.headers) - 1)
                 except Exception:
                     if self.conceal:
                         continue             # lost slice body

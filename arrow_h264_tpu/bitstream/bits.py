@@ -162,3 +162,56 @@ class BitWriter:
         if self._nbits:
             raise ValueError("writer not byte aligned; call rbsp_trailing_bits()")
         return bytes(self._bytes)
+
+
+class TracingBitReader(BitReader):
+    """BitReader that records every syntax-element read: (kind, bit
+    position, bit length, decoded value) — the JM TRACE analog at the
+    entropy-decode-sequence level (SURVEY.md §5).  Two decoder runs can
+    be diffed to the FIRST diverging read; composite codes (ue/se/te)
+    log once, with their inner fixed reads muted.  CABAC engines running
+    on this reader mute the raw-bit log and append their own
+    ("cab", pos, ctx, bin) records instead (entropy/cabac.py).
+    """
+
+    __slots__ = ("log", "mute")
+
+    def __init__(self, data: bytes, log: list):
+        super().__init__(data)
+        self.log = log
+        self.mute = False
+
+    def u(self, n: int) -> int:
+        p = self.pos
+        v = super().u(n)
+        if not self.mute:
+            self.log.append(("u", p, n, v))
+        return v
+
+    def u1(self) -> int:
+        p = self.pos
+        v = super().u1()
+        if not self.mute:
+            self.log.append(("u", p, 1, v))
+        return v
+
+    def _composite(self, kind, fn):
+        p = self.pos
+        m, self.mute = self.mute, True
+        try:
+            v = fn()
+        finally:
+            self.mute = m
+        if not m:
+            self.log.append((kind, p, self.pos - p, v))
+        return v
+
+    def ue(self) -> int:
+        return self._composite("ue", super().ue)
+
+    def se(self) -> int:
+        return self._composite("se", super().se)
+
+    def te(self, max_val: int) -> int:
+        return self._composite("te", lambda: super(TracingBitReader,
+                                                   self).te(max_val))

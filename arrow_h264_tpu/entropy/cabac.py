@@ -52,7 +52,7 @@ TRANS_IDX_MPS[63] = 63
 class CabacDecoder:
     """spec 9.3.1.2 (init) + 9.3.3.2 (decoding)."""
 
-    __slots__ = ("r", "cod_range", "cod_offset", "state", "mps")
+    __slots__ = ("r", "cod_range", "cod_offset", "state", "mps", "_log")
 
     def __init__(self, r: BitReader):
         r.align()
@@ -61,6 +61,11 @@ class CabacDecoder:
         self.cod_offset = r.u(9)
         self.state = np.zeros(1024, np.int32)
         self.mps = np.zeros(1024, np.int32)
+        # SE tracing (bits.TracingBitReader): mute the raw renorm-bit log
+        # and record per-bin ("cab", pos, ctx, bin) entries instead
+        self._log = getattr(r, "log", None)
+        if self._log is not None:
+            r.mute = True
 
     def init_contexts(self, slice_qp: int, slice_type_i: bool,
                       cabac_init_idc: int) -> None:
@@ -74,6 +79,14 @@ class CabacDecoder:
         self.state = np.where(pre <= 63, 63 - pre, pre - 64).astype(np.int32)
 
     def decision(self, ctx: int) -> int:
+        if self._log is not None:
+            p = self.r.pos
+            bit = self._decision(ctx)
+            self._log.append(("cab", p, ctx, bit))
+            return bit
+        return self._decision(ctx)
+
+    def _decision(self, ctx: int) -> int:
         """decodeDecision (9.3.3.2.1) + renorm (9.3.3.2.2)."""
         state = int(self.state[ctx])
         q = (self.cod_range >> 6) & 3
@@ -97,11 +110,16 @@ class CabacDecoder:
 
     def bypass(self) -> int:
         """decodeBypass (9.3.3.2.3)."""
+        p = self.r.pos
         self.cod_offset = (self.cod_offset << 1) | self.r.u1()
         if self.cod_offset >= self.cod_range:
             self.cod_offset -= self.cod_range
-            return 1
-        return 0
+            bit = 1
+        else:
+            bit = 0
+        if self._log is not None:
+            self._log.append(("cby", p, -1, bit))
+        return bit
 
     def terminate(self) -> int:
         """decodeTerminate (9.3.3.2.4)."""

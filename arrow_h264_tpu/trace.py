@@ -80,3 +80,30 @@ def trace_frame_abi(fh, abi, mb_w: int, mb_h: int, frame_idx: int) -> None:
                 rec["ref"] = refid[i].tolist()
                 rec["mv"] = mv[i].tolist()
         fh.write(json.dumps(rec) + "\n")
+
+
+def trace_se_target(explicit=None):
+    """Sink for the syntax-element-level trace (``--trace-se`` /
+    ARROW_H264_TRACE_SE): the JM trace_dec.txt analog."""
+    t = explicit if explicit is not None else os.environ.get(
+        "ARROW_H264_TRACE_SE")
+    if t is None:
+        return None
+    if hasattr(t, "write"):
+        return t
+    return open(t, "a")
+
+
+def dump_se_log(fh, log, frame_idx: int, slice_idx: int) -> None:
+    """Write one entropy-decode-sequence record per primitive read.
+
+    Format (text, one line per read, JM-trace-style):
+        SE <frame> <slice> <kind> <bitpos> <nbits> <value>
+    kinds: u/ue/se/te (bit reads), cab (CABAC decision: nbits column is
+    the context index), cby (CABAC bypass).  Diffing two traces localizes
+    the first diverging syntax element of an entropy bug.
+    """
+    w = fh.write
+    for kind, pos, n, v in log:
+        w(f"SE {frame_idx} {slice_idx} {kind} {pos} {n} {v}\n")
+    fh.flush()

@@ -79,3 +79,39 @@ def test_decode_trace_jsonl(h264ref, tmp_path):
     assert all("kind" in r and "qp" in r for r in mbs)
     # P-frame MBs carry motion info
     assert any("mv" in r for r in mbs if r["frame"] == 1)
+
+
+def test_trace_se(h264ref, tmp_path):
+    """SE-level trace: every entropy read logged with bit position; two
+    runs produce identical decode sequences (the JM TRACE use case)."""
+    from arrow_h264_tpu.api import Decoder
+    w, h = 176, 144
+    yuv = streams.make_content(w, h, 2, seed=5)
+    path = str(tmp_path / "t.264")
+    opts = ["profile=main", "qp=30", "g=250", "bf=0", "refs=1",
+            f"x264-params=cabac=1:{streams.X264_COMMON}"]
+    streams.encode(yuv, w, h, path, opts)
+    data = open(path, "rb").read()
+    logs = []
+    for run in range(2):
+        p = tmp_path / f"se{run}.txt"
+        dec = Decoder(trace_se=str(p))
+        assert dec.entropy == "python"
+        n = sum(1 for _ in dec.decode_annexb(data))
+        assert n == 2
+        logs.append(p.read_text())
+    assert logs[0] == logs[1]
+    lines = logs[0].splitlines()
+    assert len(lines) > 1000                       # every SE, not a summary
+    # CABAC decisions carry context indices; bit positions are monotonic
+    # within a slice
+    kinds = {ln.split()[3] for ln in lines}
+    assert "cab" in kinds and "ue" in kinds
+    prev_key, prev_pos = None, -1
+    for ln in lines:
+        _, fr, sl, kind, pos, nbits, val = ln.split()
+        key = (fr, sl)
+        if key != prev_key:
+            prev_key, prev_pos = key, -1
+        assert int(pos) >= prev_pos, ln
+        prev_pos = int(pos)

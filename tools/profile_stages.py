@@ -1,9 +1,9 @@
-"""Per-stage 1080p timing on the TPU."""
+"""Per-stage 1080p timing on the TPU (devtime slope timing — block_until_ready
+lies on the axon backend, see tools/devtime.py)."""
 import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import functools
-import time
 
 import jax
 
@@ -38,17 +38,13 @@ for s in range(2):
 slots = jnp.asarray(np.array([0, 1, -1, -1], np.int32))
 
 
+from tools.devtime import devtime  # noqa: E402
+
+
 def timeit(name, fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:28s} {dt*1e3:8.2f} ms/frame")
-    return out
+    dt = devtime(fn, *args)
+    print(f"{name:28s} {dt*1e3:8.2f} ms/frame", flush=True)
+    return jax.jit(fn)(*args)
 
 
 f_res = jax.jit(functools.partial(residual_planes, mb_w=mb_w, mb_h=mb_h,
