@@ -92,38 +92,39 @@ def dpb_alloc(mb_w: int, mb_h: int, n_slots: int):
                       jnp.uint32))
 
 
-def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
-                    mb_w: int, mb_h: int, ws4, ws8, cqp_off,
-                    pallas: bool | None = None, inter_mode: str = "none"):
-    """Reconstruction; Pallas path returns pre-deblock
-    (y, cb, cr, tables) int32 so callers can batch the knight-phase
-    deblock across streams; XLA path returns finished uint8 planes.
+def _mc_pred(abi: dict, dpb_y4p, dpb_cp, slot_list, *, mb_w: int, mb_h: int,
+             pallas: bool, inter_mode: str):
+    """Inter prediction planes (pred_y, pred_cb, pred_cr) int32.
 
-    slot_list [MAX_SLOTS] i32: frame-level DPB-slot remap for the MC kernel
-    (-1 unused); ignored by "none"/"gather" modes.
-    inter_mode: "none" (all-intra), "pl0" (Pallas MC, list0 only),
-    "pl01" (Pallas MC, both lists), "gather" (fallback, arbitrary MVs) —
-    picked per frame by the host (DevicePipeline._select_inter_mode)."""
-    if pallas is None:
-        pallas = _use_pallas()
+    Split out of _reconstruct_fn because the Pallas MC kernel reads the
+    DPB through an HBM-space ref, which the Pallas vmap batching rule
+    cannot block — batched callers loop THIS function per stream and
+    vmap everything else (Mosaic caches the kernel, so the loop costs no
+    extra compiles)."""
+    H, W = mb_h * 16, mb_w * 16
+    abi_w = resolve_weights(abi)
+    if pallas and inter_mode in ("pl0", "pl01"):
+        lists = (0,) if inter_mode == "pl0" else (0, 1)
+        return inter_predict_pallas(
+            abi_w, dpb_y4p, dpb_cp, slot_list, mb_w, mb_h, lists=lists)
+    dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
+    dpb_c = unpack_u32_plane(
+        dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
+    return inter_predict(
+        abi_w, dpb_y4, dpb_c[:, 0], dpb_c[:, 1], mb_w, mb_h)
+
+
+def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
+             pallas: bool):
+    """Residual + inter combine + intra + (tables | deblock) after MC."""
     res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8, cqp_off)
     H, W = mb_h * 16, mb_w * 16
-    if inter_mode == "none":
+    if preds is None:
         init_y = jnp.zeros((H, W), jnp.int32)
         init_cb = jnp.zeros((H // 2, W // 2), jnp.int32)
         init_cr = init_cb
     else:
-        abi_w = resolve_weights(abi)
-        if inter_mode in ("pl0", "pl01"):
-            lists = (0,) if inter_mode == "pl0" else (0, 1)
-            pred_y, pred_cb, pred_cr = inter_predict_pallas(
-                abi_w, dpb_y4p, dpb_cp, slot_list, mb_w, mb_h, lists=lists)
-        else:
-            dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
-            dpb_c = unpack_u32_plane(
-                dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
-            pred_y, pred_cb, pred_cr = inter_predict(
-                abi_w, dpb_y4, dpb_c[:, 0], dpb_c[:, 1], mb_w, mb_h)
+        pred_y, pred_cb, pred_cr = preds
         inter_y = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 16)
         inter_c = _mb_mask_to_plane(abi["kind"] >= KIND_P, mb_w, mb_h, 8)
         init_y = jnp.where(inter_y, jnp.clip(pred_y + res_y, 0, 255), 0)
@@ -138,6 +139,28 @@ def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
                                   init_y, init_cb, init_cr)
     y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+
+
+def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
+                    mb_w: int, mb_h: int, ws4, ws8, cqp_off,
+                    pallas: bool | None = None, inter_mode: str = "none"):
+    """Reconstruction; Pallas path returns pre-deblock
+    (y, cb, cr, tables) int32 so callers can batch the knight-phase
+    deblock across streams; XLA path returns finished uint8 planes.
+
+    slot_list [MAX_SLOTS] i32: frame-level DPB-slot remap for the MC kernel
+    (-1 unused); ignored by "none"/"gather" modes.
+    inter_mode: "none" (all-intra), "pl0" (Pallas MC, list0 only),
+    "pl01" (Pallas MC, both lists), "gather" (fallback, arbitrary MVs) —
+    picked per frame by the host (DevicePipeline._select_inter_mode)."""
+    if pallas is None:
+        pallas = _use_pallas()
+    preds = None
+    if inter_mode != "none":
+        preds = _mc_pred(abi, dpb_y4p, dpb_cp, slot_list, mb_w=mb_w,
+                         mb_h=mb_h, pallas=pallas, inter_mode=inter_mode)
+    return _post_mc(abi, preds, mb_w=mb_w, mb_h=mb_h, ws4=ws4, ws8=ws8,
+                    cqp_off=cqp_off, pallas=pallas)
 
 
 def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
@@ -171,13 +194,29 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
     lane-packed batch (its per-batch cost is near-constant in B, so
     batching amortizes it linearly — the SURVEY.md §2 stream-batch
     axis)."""
-    del n_streams
     if pallas is None:
         pallas = _use_pallas()
-    fn = functools.partial(_reconstruct_fn, mb_w=mb_w, mb_h=mb_h, ws4=ws4,
-                           ws8=ws8, cqp_off=cqp_off, pallas=pallas,
-                           inter_mode=inter_mode)
-    out = jax.vmap(fn)(abi_b, dpb_y_b, dpb_c_b, slots_b)
+    preds_b = None
+    if inter_mode != "none":
+        mc = functools.partial(_mc_pred, mb_w=mb_w, mb_h=mb_h,
+                               pallas=pallas, inter_mode=inter_mode)
+        if pallas and inter_mode in ("pl0", "pl01"):
+            # the MC kernel's HBM-ref DPB input can't go through the
+            # Pallas vmap batching rule; loop per stream instead (the
+            # kernel shape is identical each iteration, so Mosaic
+            # compiles it once)
+            per = [mc({k: v[i] for k, v in abi_b.items()},
+                      dpb_y_b[i], dpb_c_b[i], slots_b[i])
+                   for i in range(n_streams)]
+            preds_b = tuple(jnp.stack(p) for p in zip(*per))
+        else:
+            preds_b = jax.vmap(mc)(abi_b, dpb_y_b, dpb_c_b, slots_b)
+    post = functools.partial(_post_mc, mb_w=mb_w, mb_h=mb_h, ws4=ws4,
+                             ws8=ws8, cqp_off=cqp_off, pallas=pallas)
+    if preds_b is None:
+        out = jax.vmap(lambda a: post(a, None))(abi_b)
+    else:
+        out = jax.vmap(post)(abi_b, preds_b)
     if not pallas:
         return out
     ys, cbs, crs, tb = out
