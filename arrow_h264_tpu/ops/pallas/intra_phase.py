@@ -1,0 +1,739 @@
+"""Phase-batched Pallas intra reconstruction — the knight-phase schedule
+for the LAST serial axis of the pipeline (SURVEY.md §2 parallelism row 1,
+§7 "intra-prediction dependency chain").
+
+The raster intra kernel (intra_kernel.py) walks MBs serially: 8160
+sequential bodies at 1080p.  Intra MB (r, c) only depends on MBs
+(r, c-1), (r-1, c-1), (r-1, c), (r-1, c+1) — so, exactly like deblocking,
+all MBs of knight phase `2r + c` are mutually independent, and a frame is
+2*mb_h + mb_w - 2 phases instead of mb_w*mb_h steps.  Inside an I4x4 MB
+the 16 blocks advance through sub-steps `2*y4 + x4` (the fixed in-MB
+schedule; top-right of a block lands one sub-step earlier), I8x8 through
+`2*y8 + x8`, vectorized across ALL MBs of the phase x B streams.
+
+Layout (shared with deblock_phase): planes are SKEWED per MB row (row
+band r shifted by 2r MBs) so a phase's MBs form one contiguous pixel
+column, stored as blk-px-wide column blocks with B streams packed into
+lanes (lane = c*B + s).  The kernel carries a 4-block pixel slab and a
+parallel residual slab across phases (shift + 1-block prefetch per
+phase, parity-staged writeback — the deblock_phase orchestration).
+
+Row padding is 16 (not deblock's 8) so slab band a maps 1:1 to MB row
+a-1: the above-MB reference row is slab[a-1, 15] at a 2-MB smaller skew
+offset, all at STATIC offsets per sub-step.
+
+Prediction math: every directional mode is the oracle-probed linear form
+pred = (sum_i W[mode, y, x, i] * ref_i + R) >> S over the 13 (4x4) / 25
+(8x8, filtered) reference samples (ops.intra_tables, same tables as the
+XLA path) — per (mode, ref) the weight pattern is a [n, n*B] traced
+constant, so per-MB modes need no gathers: all 9 mode predictions are
+computed as dense MACs and mode-selected per stream lane.  DC / plane /
+PCM are computed directly.  Bit-exact vs ops.intra.intra_reconstruct by
+the equivalence tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..abi import KIND_I4x4, KIND_I8x8, KIND_I16, KIND_IPCM
+from ..intra_tables import R4, R8, S4, S8, W4, W8
+from .deblock_phase import n_phases
+
+# top/bottom padding rows EQUAL the band height (16 luma / 8 chroma) so
+# slab band a maps 1:1 to MB row a-1 in both kernels
+
+# luma metadata field offsets (u8, one [mb_h, F*B] map per phase)
+_F_KIND = 0
+_F_I4M = 1      # 16 modes
+_F_I4A = 17     # 16 packed avails (al | at<<1 | atl<<2 | atr<<3)
+_F_I8M = 33     # 4
+_F_I8A = 37     # 4
+_F_I16M = 41
+_F_MBA = 42     # packed (al | at<<1 | atl<<2)
+_F_LUMA = 48
+# chroma metadata (its own compact map: kind, chroma_mode, mb_avail)
+_F_CMODE = 1
+_F_CMBA = 2
+_F_CHROMA = 4
+
+_SUBSTEP_BLOCKS = [[(x, y) for y in range(4) for x in range(4)
+                    if 2 * y + x == s] for s in range(10)]
+_SUBSTEP_BLK8 = {0: 0, 2: 1, 4: 2, 6: 3}
+
+
+# ---------------------------------------------------------------------------
+# XLA prep (skew variant with 16-row padding; blocks like deblock_phase)
+# ---------------------------------------------------------------------------
+
+def _skew16(planes, mb_h: int, row_px: int, shift_px: int, lead_px: int,
+            total_px: int):
+    """[B, H, W] -> [B, H + 2*row_px, total_px]; band r shifted by
+    lead_px + shift_px * r; one full band of padding top and bottom."""
+    B, H, W = planes.shape
+    rows = planes.reshape(B, mb_h, row_px, W)
+    parts = []
+    for r in range(mb_h):
+        lo = lead_px + shift_px * r
+        parts.append(jnp.pad(rows[:, r], ((0, 0), (0, 0),
+                                          (lo, total_px - W - lo))))
+    sk = jnp.stack(parts, axis=1).reshape(B, H, total_px)
+    return jnp.pad(sk, ((0, 0), (row_px, row_px), (0, 0)))
+
+
+def _unskew16(sk, mb_h: int, row_px: int, shift_px: int, lead_px: int,
+              W: int):
+    B = sk.shape[0]
+    body = sk[:, row_px:-row_px, :]
+    H = body.shape[1]
+    rows = body.reshape(B, mb_h, row_px, -1)
+    parts = []
+    for r in range(mb_h):
+        lo = lead_px + shift_px * r
+        parts.append(rows[:, r, :, lo:lo + W])
+    return jnp.stack(parts, axis=1).reshape(B, H, W)
+
+
+def _to_blocks16(sk, blk_px: int, dtype):
+    """[B, RH, Wk] -> [NB, RH, blk_px*B] (lane = c*B + s)."""
+    B, RH, Wk = sk.shape
+    NB = Wk // blk_px
+    x = sk.reshape(B, RH, NB, blk_px)
+    return x.transpose(2, 1, 3, 0).reshape(NB, RH, blk_px * B).astype(dtype)
+
+
+def _from_blocks16(blocks, B: int):
+    NB, RH, L = blocks.shape
+    blk_px = L // B
+    x = blocks.reshape(NB, RH, blk_px, B)
+    return x.transpose(3, 1, 0, 2).reshape(B, RH, NB * blk_px)
+
+
+def _phase_meta(fields, mb_w: int, mb_h: int, F: int):
+    """fields: list of [B, n, k_i] int arrays -> [NP, mb_h, F*B] u8 map.
+
+    Lane layout f*B + s; phase p row r holds MB (r, p - 2r) (zeros
+    elsewhere — kind 0 = I4x4 is fine because inactive rows also carry
+    mode 2 / avail 0, making their masked writes no-ops... they are
+    masked by construction: inactive rows write back their own current
+    pixels via the kind mask only when kind<=IPCM; rows without an MB in
+    the phase get kind=255)."""
+    B = fields[0].shape[0]
+    n = fields[0].shape[1]
+    cols = jnp.concatenate(
+        [f.reshape(B, n, -1).astype(jnp.int32) for f in fields], axis=2)
+    nf = cols.shape[2]
+    assert nf <= F, (nf, F)
+    cols = jnp.pad(cols, ((0, 0), (0, 0), (0, F - nf)))
+    # mark "no MB" with kind=255 in the padding positions
+    m = cols.reshape(B, mb_h, mb_w, F)
+    NP = n_phases(mb_w, mb_h)
+    parts = []
+    for r in range(mb_h):
+        row = m[:, r]                                     # [B, mb_w, F]
+        pad_val = jnp.zeros((B, 1, F), jnp.int32).at[:, :, _F_KIND].set(255)
+        lo = 2 * r
+        hi = NP - mb_w - 2 * r
+        row = jnp.concatenate(
+            [jnp.broadcast_to(pad_val, (B, lo, F)), row,
+             jnp.broadcast_to(pad_val, (B, hi, F))], axis=1)  # [B, NP, F]
+        parts.append(row)
+    m = jnp.stack(parts, axis=1)                          # [B, mb_h, NP, F]
+    m = m.transpose(2, 1, 3, 0)                           # [NP, mb_h, F, B]
+    return m.reshape(NP, mb_h, F * B).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers (operate on jnp values loaded from the slab)
+# ---------------------------------------------------------------------------
+
+def _lane_rep(x, times: int):
+    """[..., B] -> [..., times*B] (pixel-major lane layout c*B+s)."""
+    return jnp.concatenate([x] * times, axis=-1)
+
+
+def _row_cat(rows):
+    """list of [mh, 1, L] -> [mh, len, L]."""
+    return jnp.concatenate(rows, axis=1)
+
+
+def pack_weight_consts(Wm, Rm, Sm, B: int, n: int):
+    """Host-side: mode weight tables -> kernel input arrays.
+
+    Returns (wc [9*nref, n, n*B], rs [2, 9, n, n*B]) int32 numpy — Pallas
+    kernels cannot capture traced array constants, so the per-(mode, ref)
+    lane-expanded weight patterns ride in as inputs and are read at
+    STATIC offsets."""
+    Wm = np.asarray(Wm)
+    nref = Wm.shape[2]
+    wc = np.zeros((9 * nref, n, n * B), np.int32)
+    for m in range(9):
+        for i in range(nref):
+            wc[m * nref + i] = np.repeat(Wm[m, :, i].reshape(n, n), B, 1)
+    rs = np.stack([
+        np.stack([np.asarray(Rm)[m].reshape(n, n).repeat(B, 1)
+                  for m in range(9)]),
+        np.stack([np.asarray(Sm)[m].reshape(n, n).repeat(B, 1)
+                  for m in range(9)]),
+    ]).astype(np.int32)
+    return wc, rs
+
+
+def _mode_mac(refs, wc_ref, rs_ref, Wm, B: int, n: int):
+    """All-mode MAC predictions.
+
+    refs: list of 13/25 [mh, 1, B] int32 reference pieces.
+    wc_ref/rs_ref: kernel input refs from pack_weight_consts.
+    Wm: the numpy table (static zero-skip only).
+    Returns [9] list of [mh, n, n*B] predictions."""
+    nref = len(refs)
+    preds = []
+    for m in range(9):
+        acc = None
+        for i, v in enumerate(refs):
+            if not np.asarray(Wm)[m, :, i].any():
+                continue
+            wc = wc_ref[m * nref + i]                        # [n, nB]
+            term = wc[None] * _lane_rep(
+                jnp.broadcast_to(v, v.shape[:1] + (n, B)), n)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros((refs[0].shape[0], n, n * B), jnp.int32)
+        preds.append((acc + rs_ref[0, m][None]) >> rs_ref[1, m][None])
+    return preds
+
+
+def _sel_mode(preds, mode_b, n: int, B: int):
+    """Select per-lane mode from the 9 predictions; mode_b [mh, 1, B]."""
+    mm = _lane_rep(jnp.broadcast_to(mode_b, mode_b.shape[:1] + (n, B)), n)
+    out = preds[0]
+    for m in range(1, 9):
+        out = jnp.where(mm == m, preds[m], out)
+    return out
+
+
+def _dc_from_sums(st, sl, al, at, n: int):
+    """st/sl/masks [mh, 1, B] -> DC [mh, 1, B]."""
+    import math
+    lg = int(math.log2(n))
+    both = (st + sl + n) >> (lg + 1)
+    lonly = (sl + (n >> 1)) >> lg
+    tonly = (st + (n >> 1)) >> lg
+    return jnp.where(at & al, both,
+                     jnp.where(al, lonly, jnp.where(at, tonly, 128)))
+
+
+def _sum_lanes(x, k: int, B: int):
+    """[mh, 1, k*B] -> [mh, 1, B] sum over the k pixel groups."""
+    out = x[:, :, 0:B]
+    for i in range(1, k):
+        out = out + x[:, :, i * B:(i + 1) * B]
+    return out
+
+
+def _sum_rows(x):
+    return jnp.sum(x, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# luma phase processing
+# ---------------------------------------------------------------------------
+
+def _luma_process(slab, rslab, md, wc4, rs4, wc8, rs8, *, mb_h: int,
+                  B: int):
+    """One phase: all intra MBs' luma, vectorized over bands x streams.
+
+    slab/rslab: refs [A, 16, 4*16*B] int32 (A = mb_h + 2); window px w ->
+    lanes [w*B, (w+1)*B).  Current MB px [40, 56); left col 39; the
+    above-band row is slab[a-1, 15] at px offset -32.
+    md: [mb_h, F*B] int32 metadata values.
+    """
+    mh = mb_h
+    L = B
+
+    def fld(f):                                  # [mh, 1, B]
+        return md[:, f * B:(f + 1) * B].reshape(mh, 1, B)
+
+    kind = fld(_F_KIND)
+
+    def cur(r0, nr, w0, npx):
+        return slab[1:mh + 1, r0:r0 + nr, w0 * L:(w0 + npx) * L]
+
+    def cur_set(r0, nr, w0, npx, v):
+        slab[1:mh + 1, r0:r0 + nr, w0 * L:(w0 + npx) * L] = v
+
+    def above(w0, npx):                          # above-MB row, px rel x0
+        return slab[0:mh, 15:16, (8 + w0) * L:(8 + w0 + npx) * L]
+
+    def res_cur(r0, nr, w0, npx):
+        return rslab[1:mh + 1, r0:r0 + nr, w0 * L:(w0 + npx) * L]
+
+    def masked_store(r0, nr, w0, npx, out, mask_b):
+        curv = cur(r0, nr, w0, npx)
+        m = _lane_rep(jnp.broadcast_to(mask_b, (mh, nr, B)), npx)
+        cur_set(r0, nr, w0, npx, jnp.where(m, out, curv))
+
+    # ---- I16 / PCM (whole MB) --------------------------------------------
+    is16 = kind == KIND_I16
+    ispcm = kind == KIND_IPCM
+    any16 = is16 | ispcm
+    mba = fld(_F_MBA)
+    al = ((mba & 1) != 0) & ~ispcm
+    at = ((mba & 2) != 0) & ~ispcm
+    atl = ((mba & 4) != 0) & ~ispcm
+    t_raw = above(0, 16).astype(jnp.int32)                  # [mh,1,16B]
+    tl = jnp.where(atl, above(-1, 1).astype(jnp.int32), 0)  # [mh,1,B]
+    atm = _lane_rep(at, 16)
+    t = jnp.where(atm, t_raw, 0)
+    l_raw = cur(0, 16, 39, 1).astype(jnp.int32)             # [mh,16,B]
+    l = jnp.where(jnp.broadcast_to(al, (mh, 16, B)), l_raw, 0)
+    vert = jnp.broadcast_to(t, (mh, 16, 16 * B))
+    hor = _lane_rep(l, 16)
+    st = _sum_lanes(t, 16, B)
+    sl = _sum_rows(l)
+    dc = jnp.broadcast_to(_dc_from_sums(st, sl, al, at, 16), (mh, 16, B))
+    dc = _lane_rep(dc, 16)
+    # plane (8.3.3.4): te = [tl, t0..15], le = [tl, l0..15]
+    h = jnp.zeros_like(tl)
+    v = jnp.zeros_like(tl)
+    for x in range(8):
+        tpos = t[:, :, (8 + x) * B:(9 + x) * B]
+        tneg = (t[:, :, (6 - x) * B:(7 - x) * B] if x < 7 else tl)
+        h = h + (x + 1) * (tpos - tneg)
+        lpos = l[:, 8 + x:9 + x, :]
+        lneg = (l[:, 6 - x:7 - x, :] if x < 7 else tl)
+        v = v + (x + 1) * (lpos - lneg)
+    a_ = 16 * (l[:, 15:16, :] + t[:, :, 15 * B:16 * B])
+    b_ = (5 * h + 32) >> 6
+    c_ = (5 * v + 32) >> 6
+    gx = jax.lax.broadcasted_iota(jnp.int32, (mh, 16, 16 * B), 2) // B - 7
+    gy = jax.lax.broadcasted_iota(jnp.int32, (mh, 16, 16 * B), 1) - 7
+    plane = jnp.clip((_lane_rep(jnp.broadcast_to(a_, (mh, 16, B)), 16)
+                      + _lane_rep(jnp.broadcast_to(b_, (mh, 16, B)), 16) * gx
+                      + _lane_rep(jnp.broadcast_to(c_, (mh, 16, B)), 16) * gy
+                      + 16) >> 5, 0, 255)
+    i16m = _lane_rep(jnp.broadcast_to(fld(_F_I16M), (mh, 16, B)), 16)
+    pred = jnp.where(i16m == 0, vert,
+                     jnp.where(i16m == 1, hor,
+                               jnp.where(i16m == 2, dc, plane)))
+    pred = jnp.where(_lane_rep(jnp.broadcast_to(ispcm, (mh, 16, B)), 16),
+                     0, pred)
+    out16 = jnp.clip(pred + res_cur(0, 16, 40, 16), 0, 255)
+    masked_store(0, 16, 40, 16, out16, any16)
+
+    # ---- I4x4 / I8x8 sub-steps -------------------------------------------
+    is4 = kind == KIND_I4x4
+    is8 = kind == KIND_I8x8
+    for s in range(10):
+        for (x4, y4) in _SUBSTEP_BLOCKS[s]:
+            _i4_block(slab, rslab, md, x4, y4, is4, wc4, rs4, mb_h=mh,
+                      B=B, cur=cur, above=above, res_cur=res_cur,
+                      masked_store=masked_store, fld=fld)
+        if s in _SUBSTEP_BLK8:
+            b8 = _SUBSTEP_BLK8[s]
+            _i8_block(slab, rslab, md, b8 % 2, b8 // 2, is8, wc8, rs8,
+                      mb_h=mh, B=B, cur=cur, above=above, res_cur=res_cur,
+                      masked_store=masked_store, fld=fld)
+
+
+def _i4_block(slab, rslab, md, x4, y4, is4, wc4, rs4, *, mb_h, B, cur,
+              above, res_cur, masked_store, fld):
+    mh = mb_h
+    r = y4 * 4 + x4
+    av = fld(_F_I4A + r)
+    al = (av & 1) != 0
+    at = (av & 2) != 0
+    atl = (av & 4) != 0
+    atr = (av & 8) != 0
+    x0 = 40 + 4 * x4
+    y0 = 4 * y4
+    # top refs [tl, t0..t7] as [mh, 1, 9B]
+    if y4 == 0:
+        traw = above(4 * x4 - 1, 9).astype(jnp.int32)
+    else:
+        traw = cur(y0 - 1, 1, x0 - 1, 9).astype(jnp.int32)
+    # top-right substitution then availability zeroing (order matters,
+    # matches intra_kernel._luma4_block / ops.intra._job_luma4)
+    t3 = traw[:, :, 4 * B:5 * B]
+    li = jax.lax.broadcasted_iota(jnp.int32, (mh, 1, 9 * B), 2) // B
+    traw = jnp.where((li >= 5) & (li <= 8) & ~_lane_rep(atr, 9),
+                     _lane_rep(t3, 9), traw)
+    traw = jnp.where(li == 0, jnp.where(_lane_rep(atl, 9), traw, 0),
+                     jnp.where(_lane_rep(at, 9), traw, 0))
+    lraw = cur(y0, 4, x0 - 1, 1).astype(jnp.int32)            # [mh,4,B]
+    lraw = jnp.where(jnp.broadcast_to(al, (mh, 4, B)), lraw, 0)
+    refs = ([traw[:, :, 0:B]] +
+            [traw[:, :, (1 + k) * B:(2 + k) * B] for k in range(8)] +
+            [lraw[:, k:k + 1, :] for k in range(4)])          # 13 pieces
+    preds = _mode_mac(refs, wc4, rs4, W4, B, 4)
+    mode = fld(_F_I4M + r)
+    pred = _sel_mode(preds, mode, 4, B)
+    st = _sum_lanes(traw[:, :, B:5 * B], 4, B)
+    sl = _sum_rows(lraw)
+    dc = _dc_from_sums(st, sl, al, at, 4)
+    pred = jnp.where(
+        _lane_rep(jnp.broadcast_to(mode == 2, (mh, 4, B)), 4),
+        _lane_rep(jnp.broadcast_to(dc, (mh, 4, B)), 4), pred)
+    out = jnp.clip(pred + res_cur(y0, 4, x0, 4), 0, 255)
+    masked_store(y0, 4, x0, 4, out, is4)
+
+
+def _i8_block(slab, rslab, md, x8, y8, is8, wc8, rs8, *, mb_h, B, cur,
+              above, res_cur, masked_store, fld):
+    mh = mb_h
+    b8 = y8 * 2 + x8
+    av = fld(_F_I8A + b8)
+    al = (av & 1) != 0
+    at = (av & 2) != 0
+    atl = (av & 4) != 0
+    atr = (av & 8) != 0
+    x0 = 40 + 8 * x8
+    y0 = 8 * y8
+    if y8 == 0:
+        traw = above(8 * x8 - 1, 17).astype(jnp.int32)        # [mh,1,17B]
+    else:
+        traw = cur(y0 - 1, 1, x0 - 1, 17).astype(jnp.int32)
+    t7 = traw[:, :, 8 * B:9 * B]
+    li = jax.lax.broadcasted_iota(jnp.int32, (mh, 1, 17 * B), 2) // B
+    traw = jnp.where((li >= 9) & (li <= 16) & ~_lane_rep(atr, 17),
+                     _lane_rep(t7, 17), traw)
+    traw = jnp.where(li == 0, jnp.where(_lane_rep(atl, 17), traw, 0),
+                     jnp.where(_lane_rep(at, 17), traw, 0))
+    lraw = cur(y0, 8, x0 - 1, 1).astype(jnp.int32)            # [mh,8,B]
+    lraw = jnp.where(jnp.broadcast_to(al, (mh, 8, B)), lraw, 0)
+    # ---- reference filtering (8.3.2.2.1), lane-piece translation of
+    # ops.intra._filter8_refs
+    tl = traw[:, :, 0:B]
+    tpix = [traw[:, :, (1 + k) * B:(2 + k) * B] for k in range(16)]
+    lpix = [lraw[:, k:k + 1, :] for k in range(8)]
+    ft0 = jnp.where(atl, (tl + 2 * tpix[0] + tpix[1] + 2) >> 2,
+                    (3 * tpix[0] + tpix[1] + 2) >> 2)
+    ft = [ft0] + [(tpix[k - 1] + 2 * tpix[k] + tpix[k + 1] + 2) >> 2
+                  for k in range(1, 15)] + \
+        [(tpix[14] + 3 * tpix[15] + 2) >> 2]
+    ft = [jnp.where(at, f, tpix[k]) for k, f in enumerate(ft)]
+    ftl = jnp.where(at & al, (tpix[0] + 2 * tl + lpix[0][:, :, :] + 2) >> 2,
+                    jnp.where(at, (3 * tl + tpix[0] + 2) >> 2,
+                              jnp.where(al, (3 * tl + lpix[0] + 2) >> 2,
+                                        tl)))
+    ftl = jnp.where(atl, ftl, tl)
+    fl0 = jnp.where(atl, (tl + 2 * lpix[0] + lpix[1] + 2) >> 2,
+                    (3 * lpix[0] + lpix[1] + 2) >> 2)
+    fl = [fl0] + [(lpix[k - 1] + 2 * lpix[k] + lpix[k + 1] + 2) >> 2
+                  for k in range(1, 7)] + \
+        [(lpix[6] + 3 * lpix[7] + 2) >> 2]
+    fl = [jnp.where(al, f, lpix[k]) for k, f in enumerate(fl)]
+    refs = [ftl] + ft + fl                                    # 25 pieces
+    preds = _mode_mac(refs, wc8, rs8, W8, B, 8)
+    mode = fld(_F_I8M + b8)
+    pred = _sel_mode(preds, mode, 8, B)
+    st = ft[0]
+    for k in range(1, 8):
+        st = st + ft[k]
+    sl = fl[0]
+    for k in range(1, 8):
+        sl = sl + fl[k]
+    dc = _dc_from_sums(st, sl, al, at, 8)
+    pred = jnp.where(
+        _lane_rep(jnp.broadcast_to(mode == 2, (mh, 8, B)), 8),
+        _lane_rep(jnp.broadcast_to(dc, (mh, 8, B)), 8), pred)
+    out = jnp.clip(pred + res_cur(y0, 8, x0, 8), 0, 255)
+    masked_store(y0, 8, x0, 8, out, is8)
+
+
+# ---------------------------------------------------------------------------
+# chroma phase processing (8-px blocks, cb+cr packed as 2B streams)
+# ---------------------------------------------------------------------------
+
+def _chroma_process(slab, rslab, md, *, mb_h: int, B: int):
+    """Window px: MB [20, 28), left col 19, above at -16 offset."""
+    mh = mb_h
+    L = B
+
+    def fld(f):
+        return md[:, f * B:(f + 1) * B].reshape(mh, 1, B)
+
+    kind = fld(_F_KIND)
+    is_intra = kind <= KIND_IPCM
+    ispcm = kind == KIND_IPCM
+
+    def cur(r0, nr, w0, npx):
+        return slab[1:mh + 1, r0:r0 + nr, w0 * L:(w0 + npx) * L]
+
+    def above(w0, npx):
+        return slab[0:mh, 7:8, (4 + w0) * L:(4 + w0 + npx) * L]
+
+    mba = fld(_F_CMBA)
+    al = (mba & 1) != 0
+    at = (mba & 2) != 0
+    atl = (mba & 4) != 0
+    tl = jnp.where(atl, above(-1, 1).astype(jnp.int32), 0)
+    t = jnp.where(_lane_rep(at, 8), above(0, 8).astype(jnp.int32), 0)
+    l = jnp.where(jnp.broadcast_to(al, (mh, 8, B)),
+                  cur(0, 8, 19, 1).astype(jnp.int32), 0)
+    vert = jnp.broadcast_to(t, (mh, 8, 8 * B))
+    hor = _lane_rep(l, 8)
+    # DC per 4x4 quadrant (8.3.4.1)
+    st0 = _sum_lanes(t[:, :, 0:4 * B], 4, B)
+    st1 = _sum_lanes(t[:, :, 4 * B:8 * B], 4, B)
+    sl0 = _sum_rows(l[:, 0:4, :])
+    sl1 = _sum_rows(l[:, 4:8, :])
+    tb = lambda s: (s + 2) >> 2
+    dc00 = jnp.where(at & al, (st0 + sl0 + 4) >> 3,
+                     jnp.where(al, tb(sl0), jnp.where(at, tb(st0), 128)))
+    dc01 = jnp.where(at, tb(st1), jnp.where(al, tb(sl0), 128))
+    dc10 = jnp.where(al, tb(sl1), jnp.where(at, tb(st0), 128))
+    dc11 = jnp.where(at & al, (st1 + sl1 + 4) >> 3,
+                     jnp.where(al, tb(sl1), jnp.where(at, tb(st1), 128)))
+    gx = jax.lax.broadcasted_iota(jnp.int32, (mh, 8, 8 * B), 2) // B
+    gy = jax.lax.broadcasted_iota(jnp.int32, (mh, 8, 8 * B), 1)
+    dcq = jnp.where((gx < 4) & (gy < 4),
+                    _lane_rep(jnp.broadcast_to(dc00, (mh, 8, B)), 8),
+                    jnp.where((gx >= 4) & (gy < 4),
+                              _lane_rep(jnp.broadcast_to(dc01, (mh, 8, B)), 8),
+                              jnp.where((gx < 4) & (gy >= 4),
+                                        _lane_rep(jnp.broadcast_to(
+                                            dc10, (mh, 8, B)), 8),
+                                        _lane_rep(jnp.broadcast_to(
+                                            dc11, (mh, 8, B)), 8))))
+    h = jnp.zeros_like(tl)
+    v = jnp.zeros_like(tl)
+    for x in range(4):
+        tpos = t[:, :, (4 + x) * B:(5 + x) * B]
+        tneg = (t[:, :, (2 - x) * B:(3 - x) * B] if x < 3 else tl)
+        h = h + (x + 1) * (tpos - tneg)
+        lpos = l[:, 4 + x:5 + x, :]
+        lneg = (l[:, 2 - x:3 - x, :] if x < 3 else tl)
+        v = v + (x + 1) * (lpos - lneg)
+    a_ = 16 * (l[:, 7:8, :] + t[:, :, 7 * B:8 * B])
+    b_ = (34 * h + 32) >> 6
+    c_ = (34 * v + 32) >> 6
+    plane = jnp.clip((_lane_rep(jnp.broadcast_to(a_, (mh, 8, B)), 8)
+                      + _lane_rep(jnp.broadcast_to(b_, (mh, 8, B)), 8)
+                      * (gx - 3)
+                      + _lane_rep(jnp.broadcast_to(c_, (mh, 8, B)), 8)
+                      * (gy - 3) + 16) >> 5, 0, 255)
+    cm = _lane_rep(jnp.broadcast_to(fld(_F_CMODE), (mh, 8, B)), 8)
+    pred = jnp.where(cm == 0, dcq,
+                     jnp.where(cm == 1, hor,
+                               jnp.where(cm == 2, vert, plane)))
+    pred = jnp.where(_lane_rep(jnp.broadcast_to(ispcm, (mh, 8, B)), 8),
+                     0, pred)
+    res = rslab[1:mh + 1, 0:8, 20 * L:28 * L]
+    out = jnp.clip(pred + res, 0, 255)
+    curv = cur(0, 8, 20, 8)
+    m = _lane_rep(jnp.broadcast_to(is_intra, (mh, 8, B)), 8)
+    slab[1:mh + 1, 0:8, 20 * L:28 * L] = jnp.where(m, out, curv)
+
+
+# ---------------------------------------------------------------------------
+# the pallas kernels (carried-slab orchestration, after deblock_phase)
+# ---------------------------------------------------------------------------
+
+def _phase_kernel(md_ref, wc4_ref, rs4_ref, wc8_ref, rs8_ref,
+                  pix_hbm, res_hbm, out_hbm,
+                  land, pf, rpf, ostage, slab, rslab,
+                  sem_in, sem_rin, sem_pf, sem_rpf, sem_out,
+                  *, mb_h: int, B: int, NP: int, luma: bool):
+    del pix_hbm  # aliased to out_hbm
+    rpb = 16 if luma else 8
+    blk = 16 if luma else 8
+    half = blk * B
+    p = pl.program_id(0)
+    A = slab.shape[0]
+
+    @pl.when((p > 0) & (p % 2 == 1))
+    def _():
+        pltpu.make_async_copy(ostage.at[0], out_hbm.at[p - 1],
+                              sem_out.at[0]).wait()
+
+    @pl.when((p > 0) & (p % 2 == 0))
+    def _():
+        pltpu.make_async_copy(ostage.at[1], out_hbm.at[p - 1],
+                              sem_out.at[1]).wait()
+
+    @pl.when(p == 0)
+    def _():
+        for i in range(4):
+            pltpu.make_async_copy(out_hbm.at[i], land.at[i],
+                                  sem_in.at[i]).start()
+        for i in range(4):
+            pltpu.make_async_copy(out_hbm.at[i], land.at[i],
+                                  sem_in.at[i]).wait()
+        for i in range(4):
+            slab[:, :, i * half:(i + 1) * half] = \
+                land[i].astype(jnp.int32).reshape(A, rpb, half)
+        # residual: initial 4 blocks, serially through the prefetch buffer
+        for i in range(4):
+            pltpu.make_async_copy(res_hbm.at[i], rpf, sem_rpf).start()
+            pltpu.make_async_copy(res_hbm.at[i], rpf, sem_rpf).wait()
+            rslab[:, :, i * half:(i + 1) * half] = \
+                rpf[:, :].astype(jnp.int32).reshape(A, rpb, half)
+
+    @pl.when(p > 0)
+    def _():
+        slab[:, :, 0:3 * half] = slab[:, :, half:4 * half]
+        rslab[:, :, 0:3 * half] = rslab[:, :, half:4 * half]
+        pltpu.make_async_copy(out_hbm.at[p + 3], pf, sem_pf).wait()
+        slab[:, :, 3 * half:] = pf[:, :].astype(jnp.int32) \
+            .reshape(A, rpb, half)
+        pltpu.make_async_copy(res_hbm.at[p + 3], rpf, sem_rpf).wait()
+        rslab[:, :, 3 * half:] = rpf[:, :].astype(jnp.int32) \
+            .reshape(A, rpb, half)
+
+    @pl.when(p + 4 < NP + 3)
+    def _():
+        pltpu.make_async_copy(out_hbm.at[p + 4], pf, sem_pf).start()
+        pltpu.make_async_copy(res_hbm.at[p + 4], rpf, sem_rpf).start()
+
+    md = md_ref[0].astype(jnp.int32)
+    if luma:
+        _luma_process(slab, rslab, md, wc4_ref, rs4_ref, wc8_ref, rs8_ref,
+                      mb_h=mb_h, B=B)
+    else:
+        _chroma_process(slab, rslab, md, mb_h=mb_h, B=B)
+
+    @pl.when((p < NP - 1) & (p % 2 == 0))
+    def _():
+        ostage[0] = slab[:, :, 0:half].reshape(A * rpb, half) \
+            .astype(jnp.uint8)
+        pltpu.make_async_copy(ostage.at[0], out_hbm.at[p],
+                              sem_out.at[0]).start()
+
+    @pl.when((p < NP - 1) & (p % 2 == 1))
+    def _():
+        ostage[1] = slab[:, :, 0:half].reshape(A * rpb, half) \
+            .astype(jnp.uint8)
+        pltpu.make_async_copy(ostage.at[1], out_hbm.at[p],
+                              sem_out.at[1]).start()
+
+    @pl.when(p == NP - 1)
+    def _():
+        for i in range(4):
+            land[i] = slab[:, :, i * half:(i + 1) * half] \
+                .reshape(A * rpb, half).astype(jnp.uint8)
+        for i in range(4):
+            pltpu.make_async_copy(land.at[i], out_hbm.at[p + i],
+                                  sem_in.at[i]).start()
+        for i in range(4):
+            pltpu.make_async_copy(land.at[i], out_hbm.at[p + i],
+                                  sem_in.at[i]).wait()
+
+
+def _run_intra_plane(blocks, rblocks, meta, mb_w: int, mb_h: int, B: int,
+                     luma: bool, interpret: bool):
+    NB, RH, half = blocks.shape
+    rpb = 16 if luma else 8
+    NP = n_phases(mb_w, mb_h)
+    A = RH // rpb
+    mspec = pl.BlockSpec((1, mb_h, meta.shape[2]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    if luma:
+        wc4, rs4 = pack_weight_consts(W4, R4, S4, B, 4)
+        wc8, rs8 = pack_weight_consts(W8, R8, S8, B, 8)
+    else:   # unused by the chroma kernel; keep arity with tiny dummies
+        wc4 = np.zeros((1, 1, 128), np.int32)
+        rs4 = np.zeros((1, 1, 1, 128), np.int32)
+        wc8 = np.zeros((1, 1, 128), np.int32)
+        rs8 = np.zeros((1, 1, 1, 128), np.int32)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_phase_kernel, mb_h=mb_h, B=B, NP=NP, luma=luma),
+        out_shape=jax.ShapeDtypeStruct(blocks.shape, jnp.uint8),
+        grid=(NP,),
+        in_specs=[mspec, vmem, vmem, vmem, vmem,
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((4, RH, half), jnp.uint8),     # land
+            pltpu.VMEM((RH, half), jnp.uint8),        # pf
+            pltpu.VMEM((RH, half), jnp.int16),        # rpf
+            pltpu.VMEM((2, RH, half), jnp.uint8),     # ostage
+            pltpu.VMEM((A, rpb, 4 * half), jnp.int32),
+            pltpu.VMEM((A, rpb, 4 * half), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(meta, jnp.asarray(wc4), jnp.asarray(rs4), jnp.asarray(wc8),
+      jnp.asarray(rs8), blocks, rblocks)
+
+
+def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
+                      init_cr, mb_w: int, mb_h: int,
+                      interpret: bool | None = None):
+    """Batched knight-phase intra reconstruction.
+
+    abi_b: dict of STACKED [B, ...] ABI arrays; planes [B, H, W] int32.
+    Returns (y, cb, cr) int32 [B, ...]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B0 = init_y.shape[0]
+    H, W = mb_h * 16, mb_w * 16
+    NP = n_phases(mb_w, mb_h)
+    n = mb_w * mb_h
+    B = max(8, -(-B0 // 8) * 8)
+    if B != B0:
+        pad = ((0, B - B0), (0, 0), (0, 0))
+        init_y = jnp.pad(init_y, pad)
+        init_cb = jnp.pad(init_cb, pad)
+        init_cr = jnp.pad(init_cr, pad)
+        res_y = jnp.pad(res_y, pad)
+        res_cb = jnp.pad(res_cb, pad)
+        res_cr = jnp.pad(res_cr, pad)
+        abi_b = {k: jnp.pad(v, ((0, B - B0),) + ((0, 0),) * (v.ndim - 1))
+                 for k, v in abi_b.items()}
+
+    av = abi_b["i4_avail"]
+    i4a = (av[..., 0] | (av[..., 1] << 1) | (av[..., 2] << 2)
+           | (av[..., 3] << 3))
+    av8 = abi_b["i8_avail"]
+    i8a = (av8[..., 0] | (av8[..., 1] << 1) | (av8[..., 2] << 2)
+           | (av8[..., 3] << 3))
+    mav = abi_b["mb_avail"]
+    mba = mav[..., 0] | (mav[..., 1] << 1) | (mav[..., 2] << 2)
+    md_y = _phase_meta(
+        [abi_b["kind"], abi_b["i4_modes"], i4a, abi_b["i8_modes"], i8a,
+         abi_b["i16_mode"], mba], mb_w, mb_h, _F_LUMA)
+    md_c1 = [abi_b["kind"], abi_b["chroma_mode"], mba]
+    md_c = _phase_meta([jnp.concatenate([f, f], axis=0) for f in md_c1],
+                       mb_w, mb_h, _F_CHROMA)
+
+    # --- luma
+    sk = _skew16(init_y.astype(jnp.uint8), mb_h, 16, 32, 40, (NP + 3) * 16)
+    blocks = _to_blocks16(sk, 16, jnp.uint8)
+    rsk = _skew16(jnp.clip(res_y, -32768, 32767).astype(jnp.int16),
+                  mb_h, 16, 32, 40, (NP + 3) * 16)
+    rblocks = _to_blocks16(rsk, 16, jnp.int16)
+    outb = _run_intra_plane(blocks, rblocks, md_y, mb_w, mb_h, B, True,
+                            interpret)
+    y_out = _unskew16(_from_blocks16(outb, B), mb_h, 16, 32, 40, W) \
+        .astype(jnp.int32)
+
+    # --- chroma (cb, cr as 2B lane-streams)
+    c2 = jnp.concatenate([init_cb, init_cr], axis=0).astype(jnp.uint8)
+    r2 = jnp.concatenate([res_cb, res_cr], axis=0)
+    skc = _skew16(c2, mb_h, 8, 16, 20, (NP + 3) * 8)
+    cblocks = _to_blocks16(skc, 8, jnp.uint8)
+    rskc = _skew16(jnp.clip(r2, -32768, 32767).astype(jnp.int16),
+                   mb_h, 8, 16, 20, (NP + 3) * 8)
+    rcblocks = _to_blocks16(rskc, 8, jnp.int16)
+    outc = _run_intra_plane(cblocks, rcblocks, md_c, mb_w, mb_h, 2 * B,
+                            False, interpret)
+    cfl = _unskew16(_from_blocks16(outc, 2 * B), mb_h, 8, 16, 20, W // 2) \
+        .astype(jnp.int32)
+    return y_out[:B0], cfl[:B0], cfl[B:B + B0]
