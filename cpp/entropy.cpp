@@ -32,7 +32,7 @@
 #include <x86intrin.h>
 struct H264eStats {
   uint64_t decisions, bypasses, blocks, coeffs, mbs, sig_iters;
-  uint64_t t_resid, t_scatter, t_motion, t_total;
+  uint64_t t_resid, t_scatter, t_motion, t_total, t_skip, t_tail;
 };
 static H264eStats g_h264e_stats;
 extern "C" H264eStats* h264e_stats() { return &g_h264e_stats; }
@@ -287,6 +287,134 @@ struct Cabac {
   }
 };
 
+// Register-resident CABAC view for the residual hot loop.
+//
+// Two tricks versus the member-field engine:
+//  * all state lives in locals for the duration of one block, so the
+//    compiler keeps it in registers (member fields were spilled around
+//    the out-of-line refill call — that traffic cost more than the
+//    CABAC arithmetic itself);
+//  * the offset is kept SCALED: low = offset_spec * 2^s + (next s
+//    prefetched stream bits).  offset_spec >= range  <=>  low >=
+//    range << s, so renormalization is just `s -= shift` and bits are
+//    refilled 32 at a time every ~25 bins instead of per bin.
+//  The MPS/LPS split stays a branch: context skew makes it ~80-90%
+//  predictable, and prediction breaks the range dependency chain
+//  (a cmov version measured slower on dense 1080p streams).
+struct FastCab {
+  uint64_t low;    // offset_spec << s | prefetched bits
+  int32_t range;   // unscaled, in [256, 510] after renorm
+  int32_t s;       // number of prefetched bits in low (0..39)
+  uint64_t cache;  // BitReader view (see BitReader::reload)
+  int32_t ncache;
+  int64_t pos;
+  const uint8_t* d;
+  int64_t nbytes;
+  uint8_t* ps;
+  bool err;
+
+  H264E_INLINE static FastCab enter(Cabac& c) {
+    BitReader& R = *c.r;
+    return FastCab{(uint64_t)c.offset_, c.range_, 0,
+                   R.cache, R.ncache, R.pos,
+                   R.d, R.nbytes, c.pstate, false};
+  }
+  H264E_INLINE void exit(Cabac& c) {
+    BitReader& R = *c.r;
+    c.range_ = range;
+    c.offset_ = (int32_t)(low >> s);
+    R.pos = pos - s;  // un-consume the prefetched bits
+    R.reload();
+    if (H264E_UNLIKELY(err || R.pos > R.nbits)) R.error = true;
+  }
+  H264E_NOINLINE void refill32() {
+    uint32_t v = (uint32_t)(cache >> 32);  // ncache >= 33 invariant
+    pos += 32;
+    int64_t byte0 = pos >> 3;
+    uint64_t w;
+    if (H264E_LIKELY(byte0 + 8 <= nbytes)) {
+      memcpy(&w, d + byte0, 8);
+      w = __builtin_bswap64(w);
+    } else {
+      w = 0;
+      for (int i = 0; i < 8; i++)
+        w = (w << 8) | (byte0 + i < nbytes ? d[byte0 + i] : 0);
+    }
+    int sh2 = (int)(pos & 7);
+    cache = w << sh2;
+    ncache = 64 - sh2;
+    low = (low << 32) | v;
+    s += 32;
+  }
+  H264E_INLINE int dec(int ctx) {
+    H264E_STAT(decisions, 1);
+    unsigned s2 = ps[ctx];
+    int lps = kCT.lps2[s2 * 4 + ((range >> 6) & 3)];
+    range -= lps;
+    uint64_t rs = (uint64_t)range << s;
+    int bit = (int)(s2 & 1);
+    if (H264E_UNLIKELY(low >= rs)) {
+      low -= rs;
+      range = lps;
+      bit ^= 1;
+      ps[ctx] = kCT.next_lps[s2];
+    } else {
+      ps[ctx] = kCT.next_mps[s2];
+    }
+    int sh = __builtin_clz((unsigned)range) - 23;
+    sh &= ~(sh >> 31);  // max(sh, 0); <= 7
+    range <<= sh;
+    s -= sh;
+    if (H264E_UNLIKELY(s < 8)) refill32();
+    return bit;
+  }
+  H264E_INLINE int byp() {
+    H264E_STAT(bypasses, 1);
+    s -= 1;
+    if (H264E_UNLIKELY(s < 8)) refill32();
+    uint64_t rs = (uint64_t)range << s;
+    if (low >= rs) { low -= rs; return 1; }
+    return 0;
+  }
+  H264E_INLINE int eg0() {  // exp-golomb k=0 bypass suffix (abs >= 15)
+    int k = 0, v = 0;
+    while (byp()) {
+      v += 1 << k;
+      if (H264E_UNLIKELY(++k > 32)) { err = true; return 0; }
+    }
+    while (k > 0) {
+      k--;
+      if (byp()) v += 1 << k;
+    }
+    return v;
+  }
+  H264E_INLINE int eg(int k) {  // exp-golomb order-k bypass suffix
+    int v = 0;
+    while (byp()) {
+      v += 1 << k;
+      if (H264E_UNLIKELY(++k > 32)) { err = true; return 0; }
+    }
+    while (k > 0) {
+      k--;
+      if (byp()) v += 1 << k;
+    }
+    return v;
+  }
+  // end_of_slice_flag (spec 9.3.3.2.4).  On 1 the engine is NOT
+  // renormalized (the caller flushes/aligns); on 0 it is.
+  H264E_INLINE int term() {
+    range -= 2;
+    uint64_t rs = (uint64_t)range << s;
+    if (H264E_UNLIKELY(low >= rs)) return 1;
+    int sh = __builtin_clz((unsigned)range) - 23;
+    sh &= ~(sh >> 31);
+    range <<= sh;
+    s -= sh;
+    if (H264E_UNLIKELY(s < 8)) refill32();
+    return 0;
+  }
+};
+
 // ---------------------------------------------------------------------------
 // Parameter blocks passed from Python (layouts must match centropy.py)
 // ---------------------------------------------------------------------------
@@ -373,6 +501,7 @@ struct Parser {
   SliceParams* sp;
   BitReader r;
   Cabac cab;
+  FastCab fc;   // register-resident engine view, live for the whole slice
   int mb_w, mb_h, w4, h4, w2, h2, n;
   int prev_qp_delta = 0;
 
@@ -568,30 +697,30 @@ struct Parser {
   }
 
   int cab_qp_delta() {
-    if (!cab.decision(60 + (prev_qp_delta ? 1 : 0))) {
+    if (!fc.dec(60 + (prev_qp_delta ? 1 : 0))) {
       prev_qp_delta = 0;
       return 0;
     }
     int k = 1;
-    while (cab.decision(k == 1 ? 62 : 63)) {
+    while (fc.dec(k == 1 ? 62 : 63)) {
       k++;
-      if (k > 2048) { r.error = true; return 0; }
+      if (k > 2048) { fc.err = true; return 0; }
     }
     int delta = (k & 1) ? ((k + 1) >> 1) : -(k >> 1);
     prev_qp_delta = delta;
     return delta;
   }
   int cab_chroma_mode(int mx, int my) {
-    if (!cab.decision(64 + chroma_mode_inc(mx, my))) return 0;
+    if (!fc.dec(64 + chroma_mode_inc(mx, my))) return 0;
     int k = 0;
-    while (k < 2 && cab.decision(67)) k++;
+    while (k < 2 && fc.dec(67)) k++;
     return 1 + k;
   }
   int cab_intra4x4_mode(int pred) {
-    if (cab.decision(68)) return pred;
-    int rem = cab.decision(69);
-    rem |= cab.decision(69) << 1;
-    rem |= cab.decision(69) << 2;
+    if (fc.dec(68)) return pred;
+    int rem = fc.dec(69);
+    rem |= fc.dec(69) << 1;
+    rem |= fc.dec(69) << 2;
     return rem < pred ? rem : rem + 1;
   }
   void cab_cbp(int mx, int my, int* cbp_l_out, int* cbp_c_out) {
@@ -609,7 +738,7 @@ struct Parser {
                       : ((cbp_l >> (y8 * 2)) & 1);
       int b = y8 == 0 ? l_bit(cb_, mx, my - 1, 2 + x8) : ((cbp_l >> x8) & 1);
       int ctx = 73 + (1 - a) + 2 * (1 - b);
-      if (cab.decision(ctx)) cbp_l |= 1 << b8;
+      if (fc.dec(ctx)) cbp_l |= 1 << b8;
     }
     auto c_val = [&](int c, int nx, int ny) -> int {
       if (c < 0) return 0;
@@ -619,8 +748,8 @@ struct Parser {
     };
     int va = c_val(ca, mx - 1, my), vb = c_val(cb_, mx, my - 1);
     int cbp_c = 0;
-    if (cab.decision(77 + (va ? 1 : 0) + 2 * (vb ? 1 : 0)))
-      cbp_c = cab.decision(81 + (va == 2 ? 1 : 0) + 2 * (vb == 2 ? 1 : 0)) ? 2 : 1;
+    if (fc.dec(77 + (va ? 1 : 0) + 2 * (vb ? 1 : 0)))
+      cbp_c = fc.dec(81 + (va == 2 ? 1 : 0) + 2 * (vb == 2 ? 1 : 0)) ? 2 : 1;
     *cbp_l_out = cbp_l;
     *cbp_c_out = cbp_c;
   }
