@@ -42,7 +42,7 @@ from ..ops.deblock import deblock_planes, deblock_tables
 from ..ops.inter import PAD, halfpel_planes, inter_predict, pad_chroma
 from ..ops.intra import intra_reconstruct
 from ..ops.pallas.deblock_phase import deblock_phase_batch
-from ..ops.pallas.intra_kernel import intra_reconstruct_pallas
+from ..ops.pallas.intra_phase import intra_phase_batch
 from ..ops.pallas.mc_kernel import (
     CAP, DX_MAX, DX_MIN, DY_MAX, DY_MIN, MAX_SLOTS, PADC, chroma_lanes,
     chroma_rows,
@@ -57,6 +57,10 @@ def _use_pallas() -> bool:
         return env == "1"
     import jax as _jax
     return _jax.default_backend() not in ("cpu",)
+
+# ABI fields the phase-batched intra kernel consumes (stacked [B, ...])
+INTRA_ABI_KEYS = ("kind", "i4_modes", "i4_avail", "i8_modes", "i8_avail",
+                  "i16_mode", "chroma_mode", "mb_avail")
 
 ABI_DEVICE_KEYS = (
     "kind", "qp", "luma4", "luma8", "luma_dc", "chroma_dc", "chroma_ac",
@@ -116,7 +120,13 @@ def _mc_pred(abi: dict, dpb_y4p, dpb_cp, slot_list, *, mb_w: int, mb_h: int,
 
 def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
              pallas: bool):
-    """Residual + inter combine + intra + (tables | deblock) after MC."""
+    """Residual + inter combine (+ intra/deblock on the XLA path).
+
+    Pallas path returns (init planes, residual planes, deblock tables):
+    the phase-batched intra kernel — like the MC kernel — reads planes
+    through HBM-space refs that the Pallas vmap batching rule cannot
+    block, so batched callers run it ONCE over the stacked batch after
+    this vmapped body (it is batch-native: streams pack into lanes)."""
     res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8, cqp_off)
     H, W = mb_h * 16, mb_w * 16
     if preds is None:
@@ -131,10 +141,8 @@ def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
         init_cb = jnp.where(inter_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
         init_cr = jnp.where(inter_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
     if pallas:
-        y, cb, cr = intra_reconstruct_pallas(
-            abi, res_y, res_cb, res_cr, init_y, init_cb, init_cr, mb_w, mb_h)
         tables = deblock_tables(abi, mb_w, mb_h, cqp_off)
-        return y, cb, cr, tables
+        return init_y, init_cb, init_cr, res_y, res_cb, res_cr, tables
     y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
                                   init_y, init_cb, init_cr)
     y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
@@ -174,10 +182,12 @@ def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
                           pallas=pallas, inter_mode=inter_mode)
     if not pallas:
         return out
-    y, cb, cr, tables = out
+    iy, icb, icr, ry, rcb, rcr, tables = out
+    abi_b = {k: abi[k][None] for k in INTRA_ABI_KEYS}
+    y, cb, cr = intra_phase_batch(abi_b, ry[None], rcb[None], rcr[None],
+                                  iy[None], icb[None], icr[None], mb_w, mb_h)
     tb = {k: v[None] for k, v in tables.items()}
-    yb, cbb, crb = deblock_phase_batch(y[None], cb[None], cr[None],
-                                       tb, mb_w, mb_h)
+    yb, cbb, crb = deblock_phase_batch(y, cb, cr, tb, mb_w, mb_h)
     return (yb[0].astype(jnp.uint8), cbb[0].astype(jnp.uint8),
             crb[0].astype(jnp.uint8))
 
@@ -219,7 +229,10 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
         out = jax.vmap(post)(abi_b, preds_b)
     if not pallas:
         return out
-    ys, cbs, crs, tb = out
+    iy, icb, icr, ry, rcb, rcr, tb = out
+    abi_i = {k: abi_b[k] for k in INTRA_ABI_KEYS}
+    ys, cbs, crs = intra_phase_batch(abi_i, ry, rcb, rcr, iy, icb, icr,
+                                     mb_w, mb_h)
     yb, cbb, crb = deblock_phase_batch(ys, cbs, crs, tb, mb_w, mb_h)
     return (yb.astype(jnp.uint8), cbb.astype(jnp.uint8),
             crb.astype(jnp.uint8))

@@ -154,7 +154,12 @@ def _phase_meta(fields, mb_w: int, mb_h: int, F: int):
 # ---------------------------------------------------------------------------
 
 def _lane_rep(x, times: int):
-    """[..., B] -> [..., times*B] (pixel-major lane layout c*B+s)."""
+    """[..., B] -> [..., times*B] (pixel-major lane layout c*B+s).
+
+    Mosaic cannot concatenate i1 vregs (bitcast_vreg i1->i32 is invalid);
+    route masks through int32."""
+    if x.dtype == jnp.bool_:
+        return jnp.concatenate([x.astype(jnp.int32)] * times, axis=-1) != 0
     return jnp.concatenate([x] * times, axis=-1)
 
 
