@@ -112,9 +112,29 @@ def load_lib(sanitize: bool | None = None):
                                       C.c_void_p, C.c_int64, C.c_int64]
     lib.h264e_reset_pic.restype = None
     lib.h264e_reset_pic.argtypes = [C.POINTER(_PicBuf)]
+    lib.h264e_scan_rows32.restype = C.c_long
+    lib.h264e_scan_rows32.argtypes = [
+        C.c_void_p, C.c_long, C.c_int, C.c_void_p, C.c_void_p, C.c_long,
+        C.POINTER(C.c_int)]
     assert lib.h264e_abi_version() == ABI_VERSION
     _libs[sanitize] = lib
     return lib
+
+
+def scan_rows32(src2d: np.ndarray, cap: int):
+    """C-side nonzero-row scan + int16 gather (ops/wire.py hot path).
+
+    src2d: contiguous [rows, cols] int32.  Returns (k_total, idx [cap]
+    i32, vals [cap, cols] i16, overflow).  If k_total > cap only the
+    first cap rows were written (caller goes dense)."""
+    lib = load_lib()
+    rows, cols = src2d.shape
+    idx = np.empty(cap, np.int32)
+    vals = np.empty((cap, cols), np.int16)
+    ovf = C.c_int(0)
+    k = lib.h264e_scan_rows32(_ptr(src2d), rows, cols, _ptr(idx),
+                              _ptr(vals), cap, C.byref(ovf))
+    return int(k), idx, vals, bool(ovf.value)
 
 
 def _ptr(a: np.ndarray) -> int:

@@ -317,8 +317,21 @@ class DevicePipeline:
     def _select_inter_mode(self, abi: FrameABI):
         return select_inter_mode(abi, self.mb_w, self.mb_h)
 
+    def upload_abi(self, abi: FrameABI):
+        """Host ABI -> dense device ABI via the compact wire format
+        (ops.wire): ~44 MB/frame of mostly-zero int32 shrinks to a few
+        hundred KB on the host->HBM link; a small per-spec jitted
+        scatter rebuilds the dense tensors device-side.  Opt out with
+        ARROW_H264_WIRE=0 (direct dense upload)."""
+        if os.environ.get("ARROW_H264_WIRE") == "0":
+            return {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
+        from ..ops.wire import pack_wire, unpack_fn
+        wire, spec = pack_wire(abi, self.mb_w, self.mb_h)
+        dev = {k: jnp.asarray(v) for k, v in wire.items()}
+        return unpack_fn(self.mb_w, self.mb_h, spec)(dev)
+
     def decode_frame(self, abi: FrameABI):
-        dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
+        dev = self.upload_abi(abi)
         mode, slot_list = self._select_inter_mode(abi)
         if mode not in self._fns:
             self._fns[mode] = jax.jit(

@@ -88,6 +88,10 @@ class BatchDecoder:
             n_streams=B, inter_mode=mode)
         self._store = sharded_store_fn(self.mesh, B)
         self._dummy = empty_frame_abi(mb_w, mb_h)
+        self._use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
+        if self._use_wire:
+            from ..ops.wire import pack_wire
+            self._dummy_wire = pack_wire(self._dummy, mb_w, mb_h)
 
     def _decode_fn(self, mode: str):
         if mode not in self._fns:
@@ -123,10 +127,19 @@ class BatchDecoder:
 
         list(self._pool.map(advance, range(B)))
 
+        use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
+
         def pack(i):
             pic, poc = pending[i]
             try:
-                return i, self.decoders[i].pack_abi(pic, poc)
+                abi = self.decoders[i].pack_abi(pic, poc)
+                if use_wire:
+                    from ..ops.wire import pack_wire
+                    sps = pic.sps
+                    ws = pack_wire(abi, sps.pic_width_in_mbs,
+                                   sps.pic_height_in_map_units)
+                    return i, (abi, ws)
+                return i, (abi, None)
             except Exception as e:
                 self.errors[i] = e
                 gens[i] = None
@@ -136,9 +149,10 @@ class BatchDecoder:
         while any(p is not None for p in pending):
             live = [i for i in range(B) if pending[i] is not None]
             abis = {}
-            for i, abi in self._pool.map(pack, live):
-                if abi is not None:
-                    abis[i] = abi
+            wires = {}
+            for i, packed in self._pool.map(pack, live):
+                if packed is not None:
+                    abis[i], wires[i] = packed
             live = [i for i in live if i in abis]
             if not live:
                 break
@@ -166,13 +180,30 @@ class BatchDecoder:
             else:
                 mode = "none"
 
-            batch = {}
-            for k in ABI_DEVICE_KEYS:
-                rows = [abis[i][k] if i in abis else self._dummy[k]
-                        for i in range(B)]
-                batch[k] = jax.device_put(
-                    jnp.stack([jnp.asarray(r) for r in rows]),
-                    self._sharding)
+            if self._use_wire:
+                # bring every lane onto the round's merged wire spec so
+                # ONE sharded unpack serves the whole batch, then upload
+                # the compact wire instead of the dense ABI
+                from ..ops.wire import conform_wire, merge_specs, unpack_fn
+                target = merge_specs(
+                    [wires[i][1] for i in live] + [self._dummy_wire[1]])
+                rows = [
+                    conform_wire(*(wires[i] if i in wires
+                                   else self._dummy_wire),
+                                 target, mb_w, mb_h)
+                    for i in range(B)]
+                batchw = {k: jax.device_put(
+                    jnp.asarray(np.stack([r[k] for r in rows])),
+                    self._sharding) for k in rows[0]}
+                batch = unpack_fn(mb_w, mb_h, target, batched=True)(batchw)
+            else:
+                batch = {}
+                for k in ABI_DEVICE_KEYS:
+                    rows = [abis[i][k] if i in abis else self._dummy[k]
+                            for i in range(B)]
+                    batch[k] = jax.device_put(
+                        jnp.stack([jnp.asarray(r) for r in rows]),
+                        self._sharding)
             slots_arr = np.full((B, MAX_SLOTS), -1, np.int32)
             for i, sl in slot_lists.items():
                 slots_arr[i] = sl
@@ -203,6 +234,7 @@ class BatchDecoder:
                 jax.device_put(jnp.asarray(store_slots), self._sharding),
                 yb, cbb, crb)
             abis.clear()   # release ABI views so parse buffers can recycle
+            wires.clear()
             todo = [i for i in live if self.errors[i] is None]
             for i in todo:
                 pending[i] = None

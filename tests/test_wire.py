@@ -1,0 +1,120 @@
+"""Wire-format round-trip: pack_wire -> unpack must reproduce the dense
+ABI exactly (the wire is pure transport, ops/wire.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from arrow_h264_tpu.models.pipeline import ABI_DEVICE_KEYS
+from arrow_h264_tpu.ops.abi import empty_frame_abi
+from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
+from arrow_h264_tpu.ops.wire import (
+    conform_wire, merge_specs, pack_wire, unpack_fn, wire_nbytes,
+)
+
+MB_W, MB_H = 11, 9
+
+
+def _roundtrip(abi, mb_w=MB_W, mb_h=MB_H):
+    wire, spec = pack_wire(abi, mb_w, mb_h)
+    dense = unpack_fn(mb_w, mb_h, spec)(
+        {k: jnp.asarray(v) for k, v in wire.items()})
+    return wire, spec, dense
+
+
+def _check(abi, dense):
+    for k in ABI_DEVICE_KEYS:
+        got = np.asarray(dense[k])
+        want = np.asarray(abi[k])
+        assert got.shape == want.shape, k
+        if k == "refid":
+            # remapped host-side; only equality structure must survive
+            eq = lambda a: a[..., None, :] == a[..., :, None]
+            neg = want < 0
+            assert np.array_equal(got < 0, neg), k
+            f_w = want.reshape(-1)
+            f_g = got.reshape(-1)
+            # same-value pairs must map to same-value pairs (spot check)
+            rng = np.random.default_rng(0)
+            ii = rng.integers(0, f_w.size, 512)
+            jj = rng.integers(0, f_w.size, 512)
+            assert np.array_equal(f_w[ii] == f_w[jj], f_g[ii] == f_g[jj]), k
+            continue
+        assert np.array_equal(got, want), k
+
+
+def test_roundtrip_p_frame():
+    abi = synthetic_abi_p(MB_W, MB_H, seed=3, n_slots=2)
+    wire, spec, dense = _roundtrip(abi)
+    _check(abi, dense)
+    dense_bytes = sum(np.asarray(abi[k]).nbytes for k in ABI_DEVICE_KEYS)
+    assert wire_nbytes(wire) < dense_bytes
+
+
+def test_roundtrip_empty_and_edge_values():
+    abi = empty_frame_abi(MB_W, MB_H)
+    n = MB_W * MB_H
+    # force edge coefficients: int16 extremes stay sparse
+    abi["luma4"][0, 0, 0, 0] = 32767
+    abi["luma4"][1, 5, 3, 3] = -32768
+    abi["alpha_off"][:] = -12
+    abi["beta_off"][:] = 12
+    abi["pcm"][7] = np.arange(384) % 256
+    abi["kind"][7] = 3
+    _, spec, dense = _roundtrip(abi)
+    _check(abi, dense)
+    d = dict((f, s) for f, s, _ in spec)
+    assert d["l4"] == "sparse" and d["pcm"] == "sparse"
+
+
+def test_overflow_falls_back_dense():
+    abi = empty_frame_abi(MB_W, MB_H)
+    abi["luma4"][0, 0, 0, 0] = 40000     # > int16
+    _, spec, dense = _roundtrip(abi)
+    _check(abi, dense)
+    assert ("l4", "dense", 0) in spec
+
+
+def test_weighted_tables_sparse_rows():
+    abi = synthetic_abi_p(MB_W, MB_H, seed=1, n_slots=2)
+    abi["wtab"][2, 5, 0, 1] = (3, -4, 1, 0)
+    abi["slogwd"][2] = (6, 5)
+    _, spec, dense = _roundtrip(abi)
+    _check(abi, dense)
+    assert ("wtab", "sparse", 16) in spec
+
+
+def test_merge_and_conform_batch():
+    a0 = synthetic_abi_p(MB_W, MB_H, seed=5, n_slots=2)
+    a1 = empty_frame_abi(MB_W, MB_H)
+    a1["luma4"][3, 2, 1, 1] = 9          # tiny sparse
+    w0, s0 = pack_wire(a0, MB_W, MB_H)
+    w1, s1 = pack_wire(a1, MB_W, MB_H)
+    tgt = merge_specs([s0, s1])
+    c0 = conform_wire(w0, s0, tgt, MB_W, MB_H)
+    c1 = conform_wire(w1, s1, tgt, MB_W, MB_H)
+    assert set(c0.keys()) == set(c1.keys())
+    for k in c0:
+        assert c0[k].shape == c1[k].shape, k
+    up = unpack_fn(MB_W, MB_H, tgt, batched=True)
+    dense = up({k: jnp.asarray(np.stack([c0[k], c1[k]]))
+                for k in c0})
+    _check(a0, {k: v[0] for k, v in dense.items()})
+    _check(a1, {k: v[1] for k, v in dense.items()})
+
+
+def test_decode_matches_dense_upload(monkeypatch):
+    """End-to-end: decoding a real stream with the wire path produces
+    byte-identical frames to the direct dense upload."""
+    from tools import streams
+    from arrow_h264_tpu.api import Decoder
+    path = "/tmp/wire_e2e.264"
+    yuv = streams.make_content(176, 144, 4)
+    streams.encode(yuv, 176, 144, path, streams.CONFIG_OPTS[2])
+    data = open(path, "rb").read()
+    monkeypatch.setenv("ARROW_H264_WIRE", "0")
+    ref = [f.planar() for f in Decoder().decode_annexb(data)]
+    monkeypatch.setenv("ARROW_H264_WIRE", "1")
+    got = [f.planar() for f in Decoder().decode_annexb(data)]
+    assert len(ref) == len(got) and ref == got
