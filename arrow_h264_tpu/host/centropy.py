@@ -116,6 +116,14 @@ def load_lib(sanitize: bool | None = None):
     lib.h264e_scan_rows32.argtypes = [
         C.c_void_p, C.c_long, C.c_int, C.c_void_p, C.c_void_p, C.c_long,
         C.POINTER(C.c_int)]
+    lib.h264e_scan_blocks8.restype = C.c_long
+    lib.h264e_scan_blocks8.argtypes = [
+        C.c_void_p, C.c_long, C.c_int, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_long, C.c_long, C.POINTER(C.c_long), C.POINTER(C.c_int)]
+    lib.h264e_scan_inter.restype = C.c_long
+    lib.h264e_scan_inter.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_long, C.c_void_p,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_long]
     assert lib.h264e_abi_version() == ABI_VERSION
     _libs[sanitize] = lib
     return lib
@@ -135,6 +143,48 @@ def scan_rows32(src2d: np.ndarray, cap: int):
     k = lib.h264e_scan_rows32(_ptr(src2d), rows, cols, _ptr(idx),
                               _ptr(vals), cap, C.byref(ovf))
     return int(k), idx, vals, bool(ovf.value)
+
+
+def scan_blocks8(src2d: np.ndarray, cap_r: int, cap_v: int):
+    """C-side bitmap+packed-int8 scan (ops/wire.py bm8 scheme).
+
+    src2d: contiguous [rows, cols] int32, cols a multiple of 16 (or 8).
+    Returns (k_rows, idx [cap_r] i32, bm [cap_r, ceil(cols/16)] u16,
+    vals [cap_v] i8, nnz_written, overflow).  overflow is set when any
+    value misses int8 or nnz exceeds cap_v; k_rows > cap_r means the
+    row cap was hit — either way the caller falls back to dense."""
+    lib = load_lib()
+    rows, cols = src2d.shape
+    bmw = (cols + 15) // 16
+    idx = np.empty(cap_r, np.int32)
+    bm = np.empty((cap_r, bmw), np.uint16)
+    vals = np.empty(cap_v, np.int8)
+    nnz = C.c_long(0)
+    ovf = C.c_int(0)
+    k = lib.h264e_scan_blocks8(_ptr(src2d), rows, cols, _ptr(idx), _ptr(bm),
+                               _ptr(vals), cap_r, cap_v, C.byref(nnz),
+                               C.byref(ovf))
+    return int(k), idx, bm, vals, int(nnz.value), bool(ovf.value)
+
+
+def scan_inter(mv: np.ndarray, refidx: np.ndarray, refslot: np.ndarray,
+               cap: int):
+    """C-side MV/ref uniformity scan (ops/wire.py inter base scheme).
+
+    mv [n,16,2,2] / refidx,refslot [n,16,2], all contiguous int32.
+    Returns (k_nonuniform, mv_base [n,4] i16, ref_base [n,4] i8,
+    idx [cap] i32, mv_nu [cap,64] i16, ref_nu [cap,64] i8)."""
+    lib = load_lib()
+    n = mv.shape[0]
+    mv_base = np.empty((n, 4), np.int16)
+    ref_base = np.empty((n, 4), np.int8)
+    idx = np.empty(cap, np.int32)
+    mv_nu = np.empty((cap, 64), np.int16)
+    ref_nu = np.empty((cap, 64), np.int8)
+    k = lib.h264e_scan_inter(_ptr(mv), _ptr(refidx), _ptr(refslot), n,
+                             _ptr(mv_base), _ptr(ref_base), _ptr(idx),
+                             _ptr(mv_nu), _ptr(ref_nu), cap)
+    return int(k), mv_base, ref_base, idx, mv_nu, ref_nu
 
 
 def _ptr(a: np.ndarray) -> int:

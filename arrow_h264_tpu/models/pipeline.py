@@ -319,16 +319,18 @@ class DevicePipeline:
 
     def upload_abi(self, abi: FrameABI):
         """Host ABI -> dense device ABI via the compact wire format
-        (ops.wire): ~44 MB/frame of mostly-zero int32 shrinks to a few
-        hundred KB on the host->HBM link; a small per-spec jitted
-        scatter rebuilds the dense tensors device-side.  Opt out with
+        (ops.wire): ~44 MB/frame of mostly-zero int32 shrinks to well
+        under 1 MB in ONE u8 buffer on the host->HBM link (the tunnel
+        has ~55 ms per-transfer latency, so one buffer per frame is as
+        important as the byte count); a small per-spec jitted scatter
+        rebuilds the dense tensors device-side.  Opt out with
         ARROW_H264_WIRE=0 (direct dense upload)."""
         if os.environ.get("ARROW_H264_WIRE") == "0":
             return {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
-        from ..ops.wire import pack_wire, unpack_fn
-        wire, spec = pack_wire(abi, self.mb_w, self.mb_h)
-        dev = {k: jnp.asarray(v) for k, v in wire.items()}
-        return unpack_fn(self.mb_w, self.mb_h, spec)(dev)
+        from ..ops.wire import flatten_wire, pack_wire, unpack_fn
+        sec, spec = pack_wire(abi, self.mb_w, self.mb_h)
+        buf = flatten_wire(sec, spec, self.mb_w * self.mb_h)
+        return unpack_fn(self.mb_w, self.mb_h, spec)(jnp.asarray(buf))
 
     def decode_frame(self, abi: FrameABI):
         dev = self.upload_abi(abi)

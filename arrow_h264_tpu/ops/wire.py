@@ -2,34 +2,39 @@
 
 The dense MB-tensor ABI (ops.abi) is the device-side contract, but
 shipping it over the host->HBM link costs ~44 MB/frame at 1080p — almost
-all of it zeros (coefficient arrays are ~97% empty on broadcast-grade
-streams, PCM is all-but-never present, every scalar rides in an int32).
-On the bench rig the axon tunnel moves ~0.05-0.13 GB/s, so the dense
-upload alone would cap end-to-end decode at ~4 fps; on production PCIe
-hosts it is still 10-20x more traffic than needed.
+all of it zeros.  Measured on the bench rig the tunnel moves ~0.05 GB/s
+with ~55 ms latency PER TRANSFER, so the wire must be (a) small and
+(b) a SINGLE buffer per upload.  Broadcast-grade 1080p packs to
+~0.5-1 MB/frame here vs 44 MB dense.
 
-Wire layout (per frame):
-  meta8     [n, 66]  u8   every per-MB scalar, packed (modes, avails,
-                          qp, kind, nz flags, deblock offsets, ...)
-  mv16      [n, 64]  i16  inter only (zero-skipped for I frames)
-  ref8      [n, 96]  i8   refidx | refslot | refid (uids remapped to
-                          small ints host-side; equality-preserving)
-  <coeff>_idx/[K]i32 + <coeff>_val/[K,w]i16
-            sparse nonzero-block lists for luma4 / luma8 / chroma_ac /
-            luma_dc / chroma_dc / pcm, padded to a power-of-2 bucket
-            (pad index = grid size -> device trash row).  Falls back to
-            the dense int32 array if a frame is unusually dense or a
-            level overflows int16.
-  wtab_idx/_val   sparse non-identity weight-table rows (weighted pred)
-  slogwd    [16, 2] i32  always dense (128 B)
+Layout (all sections concatenated into ONE uint8 buffer, 8-byte
+aligned; the spec fully determines every offset so the same walk runs
+host-side at pack time and device-side inside the jitted unpack):
 
-`pack_wire` (host, numpy) -> (wire dict, spec); `unpack_wire_frame`
-(jit-able) scatters the wire back into the dense ABI on device.  The
-spec — a tuple of (field, scheme, bucket) — is static per compiled
-unpack variant; buckets are power-of-2 so variant count stays small.
-For lockstep batches `merge_specs` + `conform_wire` bring every stream
-of a round onto one shared spec so a single sharded unpack serves the
-whole batch.
+  meta6    [n, 6]  u8   kind, qp, slice_id, flags(tr8|avail|i16|chroma),
+                        nz bitmask lo/hi
+  slice8   [S, 6]  i8   per-slice: disable_idc, alpha_off, beta_off,
+                        slogwd_y, slogwd_c (denormalized per-MB fields
+                        re-normalized to the slice table they came from)
+  intra    sparse rows of 40 ext bytes (i4/i8 modes + packed avail) for
+                        MBs that carry any intra side-info
+  inter    "base": per-MB cell-0 mv/refidx/refslot (16x16 & skip MBs are
+                        ~90% of P content) + sparse full-grid rows for
+                        sub-partitioned MBs; refid is NOT shipped — slot
+                        equality is uid equality within a frame, so the
+                        deblock bS test runs on refslot directly
+  <coeff>  "bm8": per nonzero block idx i32 + significance bitmap u16 +
+                        nonzero values packed int8 (measured: |level| <=
+                        127 on qp>=26 content; falls back to dense16 /
+                        dense int32 when levels or density overflow)
+  pcm      sparse u8 rows (rare), wtab sparse non-identity rows
+
+`pack_wire` (host: numpy + C scan helpers from cpp/entropy.cpp) returns
+(sections, spec); `flatten_wire` produces the single upload buffer;
+`unpack_fn(spec)` is the jitted device-side scatter back to the dense
+ABI.  For lockstep batches `merge_specs` + `conform_sections` bring all
+streams of a round onto one spec so a single sharded upload + vmapped
+unpack serves the whole batch.
 
 Reference parity: the reference class has no host->device link at all
 (single-address-space C); this layer exists because the TPU-native
@@ -55,170 +60,338 @@ _COEFF_FIELDS = (
     ("ca", "chroma_ac", 8, 16),
     ("ldc", "luma_dc", 1, 16),
     ("cdc", "chroma_dc", 1, 8),
-    ("pcm", "pcm", 1, 384),
 )
 
-_META_COLS = 66
-_MIN_BUCKET = 64
-# a frame denser than this fraction of the grid ships the dense array
-_DENSE_FRAC = 0.5
+_COEFF_SHAPES = {"l4": (16, 4, 4), "l8": (4, 8, 8), "ca": (2, 2, 2, 4, 4),
+                 "ldc": (4, 4), "cdc": (2, 2, 2)}
+
+_MIN_BUCKET = 32
+_WTAB_COLS = 33 * 33 * 3 * 4
 
 
-def _bucket(k: int, grid: int) -> int:
+def _bucket(k: int, cap: int, lo: int = _MIN_BUCKET) -> int:
     """Next bucket >= k from the {2^i, 3*2^i} ladder (<=33% padding;
     coarse enough to keep the unpack-jit variant count small)."""
-    b = _MIN_BUCKET
+    b = lo
     while True:
         if b >= k:
-            return min(b, grid)
+            return min(b, cap)
         if (b + (b >> 1)) >= k:
-            return min(b + (b >> 1), grid)
+            return min(b + (b >> 1), cap)
         b <<= 1
 
 
-def _pack_meta8(abi, n: int) -> np.ndarray:
-    m = np.zeros((n, _META_COLS), np.uint8)
+# ---------------------------------------------------------------------------
+# layout: spec -> ordered (name, dtype, shape) section table
+# ---------------------------------------------------------------------------
+
+def _sections_of(spec, n: int):
+    """Ordered section table for one frame's wire buffer."""
+    out = [("meta6", np.uint8, (n, 6)),
+           ("slice8", np.int8, (MAX_SLICES, 6))]
+    sd = dict((f, (s, b)) for f, s, b in spec)
+
+    sch, b = sd["intra"]
+    if sch == "sparse":
+        out += [("in_idx", np.int32, (b,)), ("in_ext", np.uint8, (b, 40))]
+    elif sch == "dense":
+        out += [("in_ext", np.uint8, (n, 40))]
+
+    sch, b = sd["inter"]
+    if sch == "base":
+        out += [("mv_base", np.int16, (n, 4)), ("ref_base", np.int8, (n, 4))]
+        if b:
+            out += [("nu_idx", np.int32, (b,)), ("nu_mv", np.int16, (b, 64)),
+                    ("nu_ref", np.int8, (b, 64))]
+    elif sch == "dense":
+        out += [("mv16", np.int16, (n, 64)), ("ref8", np.int8, (n, 64))]
+
+    for f, _, cpm, w in _COEFF_FIELDS:
+        grid = n * cpm
+        sch, b = sd[f]
+        if sch == "bm8":
+            br, bv = b
+            bmw = (w + 15) // 16
+            out += [(f + "_idx", np.int32, (br,)),
+                    (f + "_bm", np.uint16, (br, bmw)),
+                    (f + "_val", np.int8, (bv,))]
+        elif sch == "dense16":
+            out += [(f + "_dense", np.int16, (grid, w))]
+        elif sch == "dense":
+            out += [(f + "_dense", np.int32, (grid, w))]
+
+    sch, b = sd["pcm"]
+    if sch == "sparse":
+        out += [("pcm_idx", np.int32, (b,)), ("pcm_val", np.uint8, (b, 384))]
+    elif sch == "dense":
+        out += [("pcm_val", np.uint8, (n, 384))]
+
+    sch, b = sd["wtab"]
+    if sch == "sparse":
+        out += [("wt_idx", np.int32, (b,)),
+                ("wt_val", np.int16, (b, _WTAB_COLS))]
+    return out
+
+
+def _offsets(spec, n: int):
+    """(name -> (offset, dtype, shape)) plus total buffer bytes."""
+    off = 0
+    table = {}
+    for name, dt, shape in _sections_of(spec, n):
+        nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+        table[name] = (off, dt, shape)
+        off += (nbytes + 7) & ~7
+    return table, off
+
+
+def flatten_wire(sections, spec, n: int) -> np.ndarray:
+    """Sections dict -> ONE uint8 buffer (a single device_put per frame;
+    the tunnel's ~55 ms per-transfer latency makes per-key uploads
+    unaffordable)."""
+    table, total = _offsets(spec, n)
+    buf = np.zeros(total, np.uint8)
+    for name, (off, dt, shape) in table.items():
+        a = np.ascontiguousarray(sections[name], dtype=dt)
+        raw = a.view(np.uint8).reshape(-1)
+        buf[off:off + raw.size] = raw
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# host pack
+# ---------------------------------------------------------------------------
+
+def _pack_meta(abi, n: int, sec: dict):
+    m = np.empty((n, 6), np.uint8)
     m[:, 0] = abi["kind"]
     m[:, 1] = abi["qp"]
-    m[:, 2] = abi["tr8"]
-    m[:, 3] = abi["slice_id"]
-    m[:, 4] = abi["disable_idc"]
-    m[:, 5] = np.asarray(abi["alpha_off"]) + 12
-    m[:, 6] = np.asarray(abi["beta_off"]) + 12
-    m[:, 7] = abi["i16_mode"]
-    m[:, 8] = abi["chroma_mode"]
+    m[:, 2] = abi["slice_id"]
     mba = np.asarray(abi["mb_avail"], np.uint8)
-    m[:, 9] = mba[:, 0] | (mba[:, 1] << 1) | (mba[:, 2] << 2)
-    m[:, 10:26] = abi["i4_modes"]
-    av4 = np.asarray(abi["i4_avail"], np.uint8)
-    m[:, 26:42] = (av4[:, :, 0] | (av4[:, :, 1] << 1) | (av4[:, :, 2] << 2)
-                   | (av4[:, :, 3] << 3))
-    m[:, 42:46] = abi["i8_modes"]
-    av8 = np.asarray(abi["i8_avail"], np.uint8)
-    m[:, 46:50] = (av8[:, :, 0] | (av8[:, :, 1] << 1) | (av8[:, :, 2] << 2)
-                   | (av8[:, :, 3] << 3))
-    m[:, 50:66] = np.asarray(abi["nz"], np.uint8).reshape(n, 16)
-    return m
+    m[:, 3] = (np.asarray(abi["tr8"], np.uint8)
+               | (mba[:, 0] << 1) | (mba[:, 1] << 2) | (mba[:, 2] << 3)
+               | (np.asarray(abi["i16_mode"], np.uint8) << 4)
+               | (np.asarray(abi["chroma_mode"], np.uint8) << 6))
+    nzb = np.packbits(np.asarray(abi["nz"], np.uint8).reshape(n, 16),
+                      axis=1, bitorder="little")
+    m[:, 4:6] = nzb
+    sec["meta6"] = m
+
+    tab = np.zeros((MAX_SLICES, 6), np.int8)
+    sid = np.asarray(abi["slice_id"])
+    tab[sid, 0] = np.asarray(abi["disable_idc"], np.int8)
+    tab[sid, 1] = np.asarray(abi["alpha_off"], np.int8)
+    tab[sid, 2] = np.asarray(abi["beta_off"], np.int8)
+    tab[:, 3:5] = np.asarray(abi["slogwd"], np.int8)
+    sec["slice8"] = tab
 
 
-def _remap_refid(refid: np.ndarray) -> np.ndarray:
-    """Equality-preserving shrink of DPB uids to int16 (-1 kept).
+def _pack_intra(abi, n: int, sec: dict):
+    ext = np.empty((n, 40), np.uint8)
+    ext[:, 0:16] = abi["i4_modes"]
+    ext[:, 16:32] = np.packbits(
+        np.asarray(abi["i4_avail"], np.uint8), axis=2,
+        bitorder="little").reshape(n, 16)
+    ext[:, 32:36] = abi["i8_modes"]
+    ext[:, 36:40] = np.packbits(
+        np.asarray(abi["i8_avail"], np.uint8), axis=2,
+        bitorder="little").reshape(n, 4)
+    rows = np.nonzero(ext.any(axis=1))[0]
+    k = len(rows)
+    if k == 0:
+        return ("intra", "zero", 0)
+    b = _bucket(k, n)
+    if b >= n:
+        sec["in_ext"] = ext
+        return ("intra", "dense", 0)
+    idx = np.full(b, n, np.int32)
+    idx[:k] = rows
+    vals = np.zeros((b, 40), np.uint8)
+    vals[:k] = ext[rows]
+    sec["in_idx"] = idx
+    sec["in_ext"] = vals
+    return ("intra", "sparse", b)
 
-    All refids of one frame come from the live DPB window (<= 16 pics +
-    frame_num gaps), whose uids span far less than 2^15 — so masking to
-    15 bits can never collide two distinct uids within a frame."""
-    return np.where(refid < 0, np.int32(-1),
-                    refid & 0x7FFF).astype(np.int16)
+
+def _pack_inter(abi, n: int, sec: dict, scan_inter):
+    from .abi import KIND_P
+    if not (np.asarray(abi["kind"]) >= KIND_P).any():
+        return ("inter", "zero", 0)
+    mv = np.ascontiguousarray(abi["mv"], np.int32)
+    ridx = np.ascontiguousarray(abi["refidx"], np.int32)
+    rslot = np.ascontiguousarray(abi["refslot"], np.int32)
+    cap = n // 2 + 1
+    if scan_inter is not None:
+        k, mv_base, ref_base, idx_buf, mv_nu, ref_nu = \
+            scan_inter(mv.reshape(n, 64), ridx.reshape(n, 32),
+                       rslot.reshape(n, 32), cap)
+    else:
+        mvr = mv.reshape(n, 16, 4)
+        rir = ridx.reshape(n, 16, 2)
+        rsr = rslot.reshape(n, 16, 2)
+        uni = ((mvr == mvr[:, :1]).all((1, 2))
+               & (rir == rir[:, :1]).all((1, 2))
+               & (rsr == rsr[:, :1]).all((1, 2)))
+        rows = np.nonzero(~uni)[0]
+        k = len(rows)
+        mv_base = mvr[:, 0].astype(np.int16)
+        ref_base = np.concatenate(
+            [rir[:, 0], rsr[:, 0]], axis=1).astype(np.int8)
+        idx_buf = rows
+        mv_nu = mvr[rows[:cap]].reshape(-1, 64).astype(np.int16)
+        ref_nu = np.concatenate(
+            [rir[rows[:cap]].reshape(-1, 32),
+             rsr[rows[:cap]].reshape(-1, 32)], axis=1).astype(np.int8)
+    if k >= cap:
+        sec["mv16"] = mv.astype(np.int16).reshape(n, 64)
+        r8 = np.empty((n, 64), np.int8)
+        r8[:, :32] = ridx.reshape(n, 32)
+        r8[:, 32:] = rslot.reshape(n, 32)
+        sec["ref8"] = r8
+        return ("inter", "dense", 0)
+    sec["mv_base"] = mv_base
+    sec["ref_base"] = ref_base
+    if k == 0:
+        return ("inter", "base", 0)
+    b = _bucket(k, cap)
+    idx = np.full(b, n, np.int32)
+    idx[:k] = idx_buf[:k]
+    nmv = np.zeros((b, 64), np.int16)
+    nmv[:k] = mv_nu[:k]
+    nref = np.zeros((b, 64), np.int8)
+    nref[:k] = ref_nu[:k]
+    sec["nu_idx"] = idx
+    sec["nu_mv"] = nmv
+    sec["nu_ref"] = nref
+    return ("inter", "base", b)
 
 
 def pack_wire(abi, mb_w: int, mb_h: int):
-    """Host side: dense numpy ABI -> (wire dict, spec tuple)."""
+    """Host side: dense numpy ABI -> (sections dict, spec tuple)."""
     n = mb_w * mb_h
-    wire = {"meta8": _pack_meta8(abi, n)}
+    sec = {}
     spec = []
-
-    kind = np.asarray(abi["kind"])
-    from .abi import KIND_IPCM, KIND_P
-    if (kind >= KIND_P).any():
-        spec.append(("inter", "dense", 0))
-        wire["mv16"] = np.asarray(abi["mv"], np.int16).reshape(n, 64)
-        ref8 = np.empty((n, 64), np.int8)
-        ref8[:, 0:32] = np.asarray(abi["refidx"], np.int8).reshape(n, 32)
-        ref8[:, 32:64] = np.asarray(abi["refslot"], np.int8).reshape(n, 32)
-        wire["ref8"] = ref8
-        wire["refid16"] = _remap_refid(np.asarray(abi["refid"])) \
-            .reshape(n, 32)
-    else:
-        spec.append(("inter", "zero", 0))
+    _pack_meta(abi, n, sec)
+    spec.append(_pack_intra(abi, n, sec))
 
     try:
-        from ..host.centropy import scan_rows32
+        from ..host.centropy import scan_blocks8, scan_inter
     except Exception:
-        scan_rows32 = None
+        scan_blocks8 = scan_inter = None
+    spec.append(_pack_inter(abi, n, sec, scan_inter))
 
+    kind = np.asarray(abi["kind"])
     for f, key, cpm, w in _COEFF_FIELDS:
         grid = n * cpm
-        src = np.asarray(abi[key]).reshape(grid, w)
-        if f == "pcm":
-            # gated on MB kind: no IPCM MB -> nothing to scan or send
-            rows = np.nonzero(kind == KIND_IPCM)[0]
-            if not len(rows):
-                spec.append((f, "zero", 0))
-                continue
-            k = len(rows)
-            b = _bucket(k, grid)
-            if b >= grid:
-                spec.append((f, "dense16", 0))
-                wire[f + "_dense"] = src.astype(np.uint8)
-                continue
-            spec.append((f, "sparse", b))
-            idx = np.full(b, grid, np.int32)
-            idx[:k] = rows
-            vals = np.zeros((b, w), np.uint8)
-            vals[:k] = src[rows]
-            wire[f + "_idx"] = idx
-            wire[f + "_val"] = vals
-            continue
-        cap = int(grid * _DENSE_FRAC) + 1
-        if scan_rows32 is not None and src.flags.c_contiguous and \
-                src.dtype == np.int32:
-            k, idx_buf, val_buf, overflow = scan_rows32(src, cap)
+        src = np.ascontiguousarray(abi[key], np.int32).reshape(grid, w)
+        cap_r = grid // 2 + 1
+        cap_v = grid * w // 4 + 1
+        if scan_blocks8 is not None:
+            k, idx_buf, bm_buf, val_buf, nnz, ovf = \
+                scan_blocks8(src, cap_r, cap_v)
         else:
-            mask = src.any(axis=1)
-            nzi = np.nonzero(mask)[0]
-            k = len(nzi)
-            idx_buf = nzi
-            block = src[nzi[:cap]]
-            overflow = bool(block.size) and (
-                int(block.min()) < -32768 or int(block.max()) > 32767)
-            val_buf = block.astype(np.int16)
+            mask = src != 0
+            rows = np.nonzero(mask.any(axis=1))[0]
+            k = len(rows)
+            idx_buf = rows
+            sel = mask[rows[:cap_r]]
+            bmw = (w + 15) // 16
+            padded = np.zeros((sel.shape[0], bmw * 16), np.uint16)
+            padded[:, :w] = sel
+            bm_buf = (padded.reshape(-1, bmw, 16)
+                      << np.arange(16, dtype=np.uint16)).sum(
+                          axis=2, dtype=np.uint16)
+            blocks = src[rows[:cap_r]]
+            flat = blocks[sel]
+            nnz = flat.size
+            ovf = bool(nnz) and (flat.min() < -128 or flat.max() > 127
+                                 or nnz > cap_v)
+            val_buf = flat[:cap_v].astype(np.int8)
         if k == 0:
             spec.append((f, "zero", 0))
             continue
-        b = _bucket(k, grid)
-        if k >= cap or b >= grid:
-            spec.append((f, "dense16" if not overflow else "dense", 0))
-            wire[f + "_dense"] = src.astype(
-                np.int16 if not overflow else np.int32)
+        if k >= cap_r or ovf:
+            a16 = src.astype(np.int16)
+            if np.array_equal(a16, src):
+                spec.append((f, "dense16", 0))
+                sec[f + "_dense"] = a16
+            else:
+                spec.append((f, "dense", 0))
+                sec[f + "_dense"] = src
             continue
-        if overflow:
-            spec.append((f, "dense", 0))
-            wire[f + "_dense"] = src.astype(np.int32)
-            continue
-        spec.append((f, "sparse", b))
-        idx = np.full(b, grid, np.int32)
+        br = _bucket(k, grid)
+        bv = _bucket(nnz, grid * w, lo=128)
+        spec.append((f, "bm8", (br, bv)))
+        idx = np.full(br, grid, np.int32)
         idx[:k] = idx_buf[:k]
-        vals = np.zeros((b, w), np.int16)
-        vals[:k] = val_buf[:k]
-        wire[f + "_idx"] = idx
-        wire[f + "_val"] = vals
+        bmw = (w + 15) // 16
+        bm = np.zeros((br, bmw), np.uint16)
+        bm[:k] = bm_buf[:k]
+        vals = np.zeros(bv, np.int8)
+        vals[:nnz] = val_buf[:nnz]
+        sec[f + "_idx"] = idx
+        sec[f + "_bm"] = bm
+        sec[f + "_val"] = vals
+
+    from .abi import KIND_IPCM
+    rows = np.nonzero(kind == KIND_IPCM)[0]
+    if len(rows) == 0:
+        spec.append(("pcm", "zero", 0))
+    else:
+        src = np.asarray(abi["pcm"], np.uint8).reshape(n, 384)
+        k = len(rows)
+        b = _bucket(k, n, lo=1)
+        if b >= n:
+            spec.append(("pcm", "dense", 0))
+            sec["pcm_val"] = src
+        else:
+            spec.append(("pcm", "sparse", b))
+            idx = np.full(b, n, np.int32)
+            idx[:k] = rows
+            vals = np.zeros((b, 384), np.uint8)
+            vals[:k] = src[rows]
+            sec["pcm_idx"] = idx
+            sec["pcm_val"] = vals
 
     wt = np.asarray(abi["wtab"])
     ident = identity_wtab()
     rows = np.nonzero((wt != ident).any(axis=(1, 2, 3, 4)))[0]
-    if len(rows):
-        spec.append(("wtab", "sparse", MAX_SLICES))
-        idx = np.full(MAX_SLICES, MAX_SLICES, np.int32)
-        idx[:len(rows)] = rows
-        vals = np.zeros((MAX_SLICES,) + wt.shape[1:], np.int16)
-        vals[:len(rows)] = wt[rows]
-        wire["wtab_idx"] = idx
-        wire["wtab_val"] = vals
-    else:
+    if len(rows) == 0:
         spec.append(("wtab", "zero", 0))
-    wire["slogwd"] = np.asarray(abi["slogwd"], np.int32)
-    return wire, tuple(spec)
+    else:
+        k = len(rows)
+        b = _bucket(k, MAX_SLICES, lo=1)
+        spec.append(("wtab", "sparse", b))
+        idx = np.full(b, MAX_SLICES, np.int32)
+        idx[:k] = rows[:b]
+        vals = np.zeros((b, _WTAB_COLS), np.int16)
+        vals[:k] = wt[rows[:b]].reshape(-1, _WTAB_COLS)
+        sec["wt_idx"] = idx
+        sec["wt_val"] = vals
+    return sec, tuple(spec)
 
 
-def wire_nbytes(wire) -> int:
-    return sum(np.asarray(v).nbytes for v in wire.values())
+def wire_nbytes(sections) -> int:
+    if isinstance(sections, np.ndarray):
+        return sections.nbytes
+    return sum(np.asarray(v).nbytes for v in sections.values())
 
 
 # ---------------------------------------------------------------------------
 # spec merge / conform (lockstep batches share one spec per round)
 # ---------------------------------------------------------------------------
 
-_ORDER = {"zero": 0, "sparse": 1, "dense16": 2, "dense": 3}
+_ORDER = {"zero": 0, "sparse": 1, "base": 1, "bm8": 1, "dense16": 2,
+          "dense": 3}
+
+
+def _bucket_max(entries):
+    """Componentwise max over int-or-tuple buckets."""
+    bs = [e[2] for e in entries if _ORDER[e[1]] == 1]
+    if not bs:
+        return 0
+    if isinstance(bs[0], tuple):
+        return tuple(max(b[i] for b in bs) for i in range(len(bs[0])))
+    return max(bs)
 
 
 def merge_specs(specs):
@@ -228,126 +401,291 @@ def merge_specs(specs):
         f = entries[0][0]
         assert all(e[0] == f for e in entries)
         scheme = max((e[1] for e in entries), key=_ORDER.__getitem__)
-        b = max((e[2] for e in entries if e[1] == "sparse"), default=0)
-        out.append((f, scheme, b if scheme == "sparse" else 0))
+        out.append((f, scheme,
+                    _bucket_max(entries) if _ORDER[scheme] == 1 else 0))
     return tuple(out)
 
 
-def conform_wire(wire, spec, target, mb_w: int, mb_h: int):
-    """Pad / densify a stream's wire dict up to the merged round spec."""
+def conform_sections(sec, spec, target, mb_w: int, mb_h: int):
+    """Pad / densify a stream's sections up to the merged round spec."""
     if spec == target:
-        return wire
+        return sec
     n = mb_w * mb_h
-    out = dict(wire)
+    out = dict(sec)
     for (f, sch, b), (_, tsch, tb) in zip(spec, target):
         if (sch, b) == (tsch, tb):
             continue
-        if f == "inter":
-            out["mv16"] = np.zeros((n, 64), np.int16)
-            out["ref8"] = np.full((n, 64), -1, np.int8)
-            out["refid16"] = np.full((n, 32), -1, np.int16)
-            continue
-        if f == "wtab":
-            out["wtab_idx"] = np.full(MAX_SLICES, MAX_SLICES, np.int32)
-            out["wtab_val"] = np.zeros(
-                (MAX_SLICES, 33, 33, 3, 4), np.int16)
-            continue
-        cpm, w = next((c, w) for ff, _, c, w in _COEFF_FIELDS if ff == f)
-        grid = n * cpm
-        vdt = np.uint8 if f == "pcm" else np.int16
-        if tsch == "sparse":
-            idx = np.full(tb, grid, np.int32)
-            vals = np.zeros((tb, w), vdt)
+        if f == "intra":
+            if tsch == "dense":
+                ext = np.zeros((n, 40), np.uint8)
+                if sch == "sparse":
+                    idx = out.pop("in_idx")
+                    vals = out.pop("in_ext")
+                    live = idx < n
+                    ext[idx[live]] = vals[live]
+                elif sch == "dense":
+                    ext = out["in_ext"]
+                out["in_ext"] = ext
+            else:  # sparse target
+                idx = np.full(tb, n, np.int32)
+                vals = np.zeros((tb, 40), np.uint8)
+                if sch == "sparse":
+                    idx[:b] = out.pop("in_idx")
+                    vals[:b] = out.pop("in_ext")
+                out["in_idx"] = idx
+                out["in_ext"] = vals
+        elif f == "inter":
+            if tsch == "dense":
+                if sch != "dense":
+                    mv16 = np.zeros((n, 64), np.int16)
+                    ref8 = np.full((n, 64), -1, np.int8)
+                    if sch == "base":
+                        mv16[:] = np.tile(out.pop("mv_base"), 16)
+                        rb = out.pop("ref_base")
+                        ref8[:, :32] = np.repeat(
+                            rb[:, 0:2], 16, axis=0).reshape(n, 32)
+                        ref8[:, 32:] = np.repeat(
+                            rb[:, 2:4], 16, axis=0).reshape(n, 32)
+                        if b:
+                            idx = out.pop("nu_idx")
+                            live = idx < n
+                            mv16[idx[live]] = out.pop("nu_mv")[live]
+                            ref8[idx[live]] = out.pop("nu_ref")[live]
+                    out["mv16"] = mv16
+                    out["ref8"] = ref8
+            else:  # base target
+                if sch == "zero":
+                    out["mv_base"] = np.zeros((n, 4), np.int16)
+                    out["ref_base"] = np.full((n, 4), -1, np.int8)
+                if tb:
+                    idx = np.full(tb, n, np.int32)
+                    nmv = np.zeros((tb, 64), np.int16)
+                    nref = np.zeros((tb, 64), np.int8)
+                    if sch == "base" and b:
+                        idx[:b] = out.pop("nu_idx")
+                        nmv[:b] = out.pop("nu_mv")
+                        nref[:b] = out.pop("nu_ref")
+                    out["nu_idx"] = idx
+                    out["nu_mv"] = nmv
+                    out["nu_ref"] = nref
+        elif f == "pcm":
+            if tsch == "dense":
+                dense = np.zeros((n, 384), np.uint8)
+                if sch == "sparse":
+                    idx = out.pop("pcm_idx")
+                    live = idx < n
+                    dense[idx[live]] = out["pcm_val"][live]
+                elif sch == "dense":
+                    dense = out["pcm_val"]
+                out["pcm_val"] = dense
+            else:
+                idx = np.full(tb, n, np.int32)
+                vals = np.zeros((tb, 384), np.uint8)
+                if sch == "sparse":
+                    idx[:b] = out.pop("pcm_idx")
+                    vals[:b] = out["pcm_val"]
+                out["pcm_idx"] = idx
+                out["pcm_val"] = vals
+        elif f == "wtab":
+            idx = np.full(tb, MAX_SLICES, np.int32)
+            vals = np.zeros((tb, _WTAB_COLS), np.int16)
             if sch == "sparse":
-                idx[:b] = out.pop(f + "_idx")
-                vals[:b] = out.pop(f + "_val")
-            out[f + "_idx"] = idx
-            out[f + "_val"] = vals
-        else:  # dense / dense16 target
-            ddt = np.uint8 if f == "pcm" else (
-                np.int16 if tsch == "dense16" else np.int32)
-            dense = np.zeros((grid, w), ddt)
-            if sch == "sparse":
-                idx = out.pop(f + "_idx")
-                vals = out.pop(f + "_val")
-                live = idx < grid
-                dense[idx[live]] = vals[live]
-            elif sch in ("dense", "dense16"):
-                dense = out[f + "_dense"].astype(ddt)
-            out[f + "_dense"] = dense
+                idx[:b] = out.pop("wt_idx")
+                vals[:b] = out.pop("wt_val")
+            out["wt_idx"] = idx
+            out["wt_val"] = vals
+        elif f in _COEFF_SHAPES:
+            cpm, w = next((c, ww) for ff, _, c, ww in _COEFF_FIELDS
+                          if ff == f)
+            grid = n * cpm
+            if tsch in ("dense", "dense16"):
+                ddt = np.int16 if tsch == "dense16" else np.int32
+                dense = np.zeros((grid, w), ddt)
+                if sch == "bm8":
+                    idx = out.pop(f + "_idx")
+                    bm = out.pop(f + "_bm")
+                    vals = out.pop(f + "_val")
+                    dense = _expand_bm8_np(idx, bm, vals, grid, w) \
+                        .astype(ddt)
+                elif sch in ("dense", "dense16"):
+                    dense = out[f + "_dense"].astype(ddt)
+                out[f + "_dense"] = dense
+            else:  # bm8 target: pad row/val buckets
+                tbr, tbv = tb
+                idx = np.full(tbr, grid, np.int32)
+                bmw = (w + 15) // 16
+                bm = np.zeros((tbr, bmw), np.uint16)
+                vals = np.zeros(tbv, np.int8)
+                if sch == "bm8":
+                    br, bv = b
+                    idx[:br] = out.pop(f + "_idx")
+                    bm[:br] = out.pop(f + "_bm")
+                    vals[:bv] = out.pop(f + "_val")
+                out[f + "_idx"] = idx
+                out[f + "_bm"] = bm
+                out[f + "_val"] = vals
     return out
+
+
+def _expand_bm8_np(idx, bm, vals, grid: int, w: int):
+    """Host-side bm8 -> dense int32 (conform fallback path)."""
+    br, bmw = bm.shape
+    bits = (bm[:, :, None] >> np.arange(16, dtype=np.uint16)) & 1
+    mask = bits.reshape(br, bmw * 16)[:, :w].astype(bool)
+    dense = np.zeros((grid + 1, w), np.int32)
+    rows = np.zeros((br, w), np.int32)
+    rows[mask] = vals[:int(mask.sum())].astype(np.int32)
+    dense[np.minimum(idx, grid)] = rows
+    return dense[:grid]
 
 
 # ---------------------------------------------------------------------------
 # device-side unpack (jit per spec; vmap for batches)
 # ---------------------------------------------------------------------------
 
-def _scatter_rows(idx, vals, grid: int, w: int):
+def _read(buf, table, name):
+    off, dt, shape = table[name]
+    nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+    seg = jax.lax.slice(buf, (off,), (off + nbytes,))
+    isz = np.dtype(dt).itemsize
+    if isz == 1:
+        x = jax.lax.bitcast_convert_type(seg, jnp.dtype(dt)) \
+            if dt != np.uint8 else seg
+    else:
+        x = jax.lax.bitcast_convert_type(
+            seg.reshape(-1, isz), jnp.dtype(dt))
+    return x.reshape(shape)
+
+
+def _scatter_bm8(idx, bm, vals, grid: int, w: int):
+    br, bmw = bm.shape
+    bits = (bm[:, :, None].astype(jnp.int32)
+            >> jnp.arange(16, dtype=jnp.int32)) & 1
+    mask = bits.reshape(br, bmw * 16)[:, :w]
+    flat = mask.reshape(-1)
+    pos = jnp.cumsum(flat) - 1
+    bv = vals.shape[0]
+    gathered = vals.astype(jnp.int32)[jnp.clip(pos, 0, bv - 1)] * flat
+    rows = gathered.reshape(br, w)
     dense = jnp.zeros((grid + 1, w), jnp.int32)
-    dense = dense.at[idx].set(vals.astype(jnp.int32))
+    dense = dense.at[idx].set(rows)
     return dense[:grid]
 
 
-def unpack_wire_frame(wire, *, mb_w: int, mb_h: int, spec):
-    """Wire dict (device arrays) -> dense int32 ABI dict (jit-able)."""
+def unpack_wire_frame(buf, *, mb_w: int, mb_h: int, spec):
+    """Flat u8 wire buffer (device array) -> dense int32 ABI dict."""
     n = mb_w * mb_h
-    md = wire["meta8"].astype(jnp.int32)
-    out = {
-        "kind": md[:, 0], "qp": md[:, 1], "tr8": md[:, 2],
-        "slice_id": md[:, 3], "disable_idc": md[:, 4],
-        "alpha_off": md[:, 5] - 12, "beta_off": md[:, 6] - 12,
-        "i16_mode": md[:, 7], "chroma_mode": md[:, 8],
-        "mb_avail": jnp.stack([(md[:, 9] >> b) & 1 for b in range(3)], 1),
-        "i4_modes": md[:, 10:26],
-        "i4_avail": jnp.stack(
-            [(md[:, 26:42] >> b) & 1 for b in range(4)], 2),
-        "i8_modes": md[:, 42:46],
-        "i8_avail": jnp.stack(
-            [(md[:, 46:50] >> b) & 1 for b in range(4)], 2),
-        "nz": md[:, 50:66].reshape(n, 4, 4),
-    }
-    sd = dict((f, (sch, b)) for f, sch, b in spec)
+    table, _total = _offsets(spec, n)
+    sd = dict((f, (s, b)) for f, s, b in spec)
 
-    sch, _ = sd["inter"]
+    m = _read(buf, table, "meta6").astype(jnp.int32)
+    fl = m[:, 3]
+    tab = _read(buf, table, "slice8").astype(jnp.int32)
+    sid = m[:, 2]
+    nzm = m[:, 4] | (m[:, 5] << 8)
+    out = {
+        "kind": m[:, 0], "qp": m[:, 1], "slice_id": sid,
+        "tr8": fl & 1,
+        "mb_avail": jnp.stack([(fl >> b) & 1 for b in (1, 2, 3)], 1),
+        "i16_mode": (fl >> 4) & 3, "chroma_mode": (fl >> 6) & 3,
+        "disable_idc": tab[sid, 0],
+        "alpha_off": tab[sid, 1], "beta_off": tab[sid, 2],
+        "slogwd": tab[:, 3:5],
+        "nz": jnp.stack([(nzm >> b) & 1 for b in range(16)], 1)
+            .reshape(n, 4, 4),
+    }
+
+    sch, b = sd["intra"]
+    if sch == "zero":
+        ext = jnp.zeros((n, 40), jnp.int32)
+    elif sch == "dense":
+        ext = _read(buf, table, "in_ext").astype(jnp.int32)
+    else:
+        idx = _read(buf, table, "in_idx")
+        vals = _read(buf, table, "in_ext").astype(jnp.int32)
+        ext = jnp.zeros((n + 1, 40), jnp.int32).at[idx].set(vals)[:n]
+    out["i4_modes"] = ext[:, 0:16]
+    out["i4_avail"] = jnp.stack(
+        [(ext[:, 16:32] >> b) & 1 for b in range(4)], 2)
+    out["i8_modes"] = ext[:, 32:36]
+    out["i8_avail"] = jnp.stack(
+        [(ext[:, 36:40] >> b) & 1 for b in range(4)], 2)
+
+    sch, b = sd["inter"]
     if sch == "zero":
         out["mv"] = jnp.zeros((n, 4, 4, 2, 2), jnp.int32)
         out["refidx"] = jnp.full((n, 4, 4, 2), -1, jnp.int32)
         out["refslot"] = jnp.full((n, 4, 4, 2), -1, jnp.int32)
-        out["refid"] = jnp.full((n, 4, 4, 2), -1, jnp.int32)
-    else:
-        out["mv"] = wire["mv16"].astype(jnp.int32).reshape(n, 4, 4, 2, 2)
-        r8 = wire["ref8"].astype(jnp.int32)
+    elif sch == "dense":
+        out["mv"] = _read(buf, table, "mv16").astype(jnp.int32) \
+            .reshape(n, 4, 4, 2, 2)
+        r8 = _read(buf, table, "ref8").astype(jnp.int32)
         out["refidx"] = r8[:, 0:32].reshape(n, 4, 4, 2)
         out["refslot"] = r8[:, 32:64].reshape(n, 4, 4, 2)
-        out["refid"] = wire["refid16"].astype(jnp.int32) \
-            .reshape(n, 4, 4, 2)
+    else:
+        mvb = _read(buf, table, "mv_base").astype(jnp.int32)
+        rb = _read(buf, table, "ref_base").astype(jnp.int32)
+        mv = jnp.tile(mvb, (1, 16))                      # [n, 64]
+        ridx = jnp.tile(rb[:, 0:2], (1, 16))             # [n, 32]
+        rslot = jnp.tile(rb[:, 2:4], (1, 16))
+        if b:
+            idx = _read(buf, table, "nu_idx")
+            nmv = _read(buf, table, "nu_mv").astype(jnp.int32)
+            nref = _read(buf, table, "nu_ref").astype(jnp.int32)
+            mv = jnp.concatenate([mv, jnp.zeros((1, 64), jnp.int32)]) \
+                .at[idx].set(nmv)[:n]
+            ref = jnp.concatenate(
+                [jnp.concatenate([ridx, rslot], 1),
+                 jnp.zeros((1, 64), jnp.int32)]).at[idx].set(nref)[:n]
+            ridx, rslot = ref[:, :32], ref[:, 32:]
+        out["mv"] = mv.reshape(n, 4, 4, 2, 2)
+        out["refidx"] = ridx.reshape(n, 4, 4, 2)
+        out["refslot"] = rslot.reshape(n, 4, 4, 2)
+    # refid is never shipped: within one frame the DPB slot identifies
+    # the picture, and deblock's bS test only needs equality/validity —
+    # both preserved by the injective uid -> slot substitution.
+    out["refid"] = out["refslot"]
 
-    shapes = {"l4": (n, 16, 4, 4), "l8": (n, 4, 8, 8),
-              "ca": (n, 2, 2, 2, 4, 4), "ldc": (n, 4, 4),
-              "cdc": (n, 2, 2, 2), "pcm": (n, 384)}
+    keymap = dict((f, k) for f, k, _, _ in _COEFF_FIELDS)
     for f, key, cpm, w in _COEFF_FIELDS:
         grid = n * cpm
         sch, b = sd[f]
+        shape = (n,) + _COEFF_SHAPES[f]
         if sch == "zero":
-            out[key] = jnp.zeros(shapes[f], jnp.int32)
+            out[key] = jnp.zeros(shape, jnp.int32)
         elif sch in ("dense", "dense16"):
-            out[key] = wire[f + "_dense"].astype(jnp.int32) \
-                .reshape(shapes[f])
+            out[key] = _read(buf, table, f + "_dense").astype(jnp.int32) \
+                .reshape(shape)
         else:
-            dense = _scatter_rows(wire[f + "_idx"], wire[f + "_val"],
-                                  grid, w)
-            out[key] = dense.reshape(shapes[f])
+            dense = _scatter_bm8(
+                _read(buf, table, f + "_idx"),
+                _read(buf, table, f + "_bm"),
+                _read(buf, table, f + "_val"), grid, w)
+            out[key] = dense.reshape(shape)
 
-    sch, _ = sd["wtab"]
+    sch, b = sd["pcm"]
+    if sch == "zero":
+        out["pcm"] = jnp.zeros((n, 384), jnp.int32)
+    elif sch == "dense":
+        out["pcm"] = _read(buf, table, "pcm_val").astype(jnp.int32)
+    else:
+        idx = _read(buf, table, "pcm_idx")
+        vals = _read(buf, table, "pcm_val").astype(jnp.int32)
+        out["pcm"] = jnp.zeros((n + 1, 384), jnp.int32) \
+            .at[idx].set(vals)[:n]
+
+    sch, b = sd["wtab"]
     ident = jnp.asarray(identity_wtab())
     if sch == "zero":
         out["wtab"] = ident
     else:
+        idx = _read(buf, table, "wt_idx")
+        vals = _read(buf, table, "wt_val").astype(ident.dtype) \
+            .reshape(-1, 33, 33, 3, 4)
         upd = jnp.concatenate(
-            [ident, jnp.zeros((1,) + ident.shape[1:], jnp.int16)])
-        upd = upd.at[wire["wtab_idx"]].set(wire["wtab_val"])
-        out["wtab"] = upd[:MAX_SLICES]
-    out["slogwd"] = wire["slogwd"].astype(jnp.int32)
+            [ident, jnp.zeros((1,) + ident.shape[1:], ident.dtype)])
+        out["wtab"] = upd.at[idx].set(vals)[:MAX_SLICES]
+    out["slogwd"] = out["slogwd"].astype(jnp.int32)
     return out
 
 

@@ -182,19 +182,24 @@ class BatchDecoder:
 
             if self._use_wire:
                 # bring every lane onto the round's merged wire spec so
-                # ONE sharded unpack serves the whole batch, then upload
-                # the compact wire instead of the dense ABI
-                from ..ops.wire import conform_wire, merge_specs, unpack_fn
+                # ONE sharded upload + unpack serves the whole batch
+                # (the tunnel's per-transfer latency makes one buffer
+                # per round as important as the byte count)
+                from ..ops.wire import (
+                    conform_sections, flatten_wire, merge_specs, unpack_fn,
+                )
                 target = merge_specs(
                     [wires[i][1] for i in live] + [self._dummy_wire[1]])
-                rows = [
-                    conform_wire(*(wires[i] if i in wires
-                                   else self._dummy_wire),
-                                 target, mb_w, mb_h)
+                n = mb_w * mb_h
+                bufs = [
+                    flatten_wire(
+                        conform_sections(*(wires[i] if i in wires
+                                           else self._dummy_wire),
+                                         target, mb_w, mb_h),
+                        target, n)
                     for i in range(B)]
-                batchw = {k: jax.device_put(
-                    jnp.asarray(np.stack([r[k] for r in rows])),
-                    self._sharding) for k in rows[0]}
+                batchw = jax.device_put(jnp.asarray(np.stack(bufs)),
+                                        self._sharding)
                 batch = unpack_fn(mb_w, mb_h, target, batched=True)(batchw)
             else:
                 batch = {}

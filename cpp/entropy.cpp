@@ -1005,5 +1005,95 @@ extern "C" long h264e_scan_rows32(const int32_t* src, long rows, int cols,
   return k;
 }
 
+// Bitmap+packed scan (wire v3): nonzero rows of a dense int32 matrix are
+// emitted as (row index, per-16-lane significance bitmaps, nonzero values
+// packed contiguously as int8).  Shrinks a sparse 4x4 coefficient block
+// from 36 wire bytes to ~6 + nnz.  Writing stops at cap_r rows / cap_v
+// values; the caller falls back to a dense encoding when either cap or
+// the int8 range overflows.  Returns total nonzero rows; *nnz_total gets
+// the number of values written.
+extern "C" long h264e_scan_blocks8(const int32_t* src, long rows, int cols,
+                                   int32_t* idx, uint16_t* bm, int8_t* vals,
+                                   long cap_r, long cap_v,
+                                   long* nnz_total, int* overflow) {
+  const int bmw = (cols + 15) / 16;
+  long k = 0, nv = 0;
+  int ovf = 0;
+  for (long r = 0; r < rows; r++) {
+    const int32_t* p = src + (long)r * cols;
+    int32_t acc = 0;
+    for (int c = 0; c < cols; c++) acc |= p[c];
+    if (H264E_LIKELY(acc == 0)) continue;
+    if (k < cap_r) {
+      idx[k] = (int32_t)r;
+      uint16_t* b = bm + k * bmw;
+      for (int wgrp = 0; wgrp < bmw; wgrp++) {
+        uint16_t m = 0;
+        const int base = wgrp * 16;
+        const int lim = cols - base < 16 ? cols - base : 16;
+        for (int c = 0; c < lim; c++) {
+          int32_t x = p[base + c];
+          if (x == 0) continue;
+          m |= (uint16_t)(1u << c);
+          if (H264E_UNLIKELY(x < -128 || x > 127)) ovf = 1;
+          if (nv < cap_v) vals[nv] = (int8_t)x;
+          nv++;
+        }
+        b[wgrp] = m;
+      }
+    }
+    k++;
+  }
+  *nnz_total = nv;
+  *overflow = ovf | (nv > cap_v);
+  return k;
+}
+
+// Inter-field uniformity scan (wire v3).  mv [n,16,2,2] i32, refidx /
+// refslot [n,16,2] i32.  A row is "uniform" when all 16 cells carry
+// cell 0's mv+refidx+refslot for both lists (16x16 / skip MBs — the
+// overwhelming majority).  Emits per-MB bases (mv_base [n,4] i16,
+// ref_base [n,4] i8) plus a sparse list of non-uniform rows in the
+// dense layouts (mv64 [cap,64] i16; ref64 [cap,64] i8 = refidx|refslot).
+// Returns total non-uniform rows (may exceed cap -> caller goes dense).
+extern "C" long h264e_scan_inter(const int32_t* mv, const int32_t* refidx,
+                                 const int32_t* refslot, long n,
+                                 int16_t* mv_base, int8_t* ref_base,
+                                 int32_t* idx, int16_t* mv_nu,
+                                 int8_t* ref_nu, long cap) {
+  long k = 0;
+  for (long r = 0; r < n; r++) {
+    const int32_t* m = mv + r * 64;
+    const int32_t* ri = refidx + r * 32;
+    const int32_t* rs = refslot + r * 32;
+    mv_base[r * 4 + 0] = (int16_t)m[0];
+    mv_base[r * 4 + 1] = (int16_t)m[1];
+    mv_base[r * 4 + 2] = (int16_t)m[2];
+    mv_base[r * 4 + 3] = (int16_t)m[3];
+    ref_base[r * 4 + 0] = (int8_t)ri[0];
+    ref_base[r * 4 + 1] = (int8_t)ri[1];
+    ref_base[r * 4 + 2] = (int8_t)rs[0];
+    ref_base[r * 4 + 3] = (int8_t)rs[1];
+    int32_t diff = 0;
+    for (int c = 1; c < 16; c++) {
+      diff |= (m[c * 4 + 0] ^ m[0]) | (m[c * 4 + 1] ^ m[1]) |
+              (m[c * 4 + 2] ^ m[2]) | (m[c * 4 + 3] ^ m[3]);
+      diff |= (ri[c * 2 + 0] ^ ri[0]) | (ri[c * 2 + 1] ^ ri[1]);
+      diff |= (rs[c * 2 + 0] ^ rs[0]) | (rs[c * 2 + 1] ^ rs[1]);
+    }
+    if (H264E_LIKELY(diff == 0)) continue;
+    if (k < cap) {
+      idx[k] = (int32_t)r;
+      int16_t* mo = mv_nu + k * 64;
+      for (int c = 0; c < 64; c++) mo[c] = (int16_t)m[c];
+      int8_t* ro = ref_nu + k * 64;
+      for (int c = 0; c < 32; c++) ro[c] = (int8_t)ri[c];
+      for (int c = 0; c < 32; c++) ro[32 + c] = (int8_t)rs[c];
+    }
+    k++;
+  }
+  return k;
+}
+
 // continued in entropy_mb.inc (macroblock layer + slice loop)
 #include "entropy_mb.inc"

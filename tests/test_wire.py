@@ -1,5 +1,7 @@
-"""Wire-format round-trip: pack_wire -> unpack must reproduce the dense
-ABI exactly (the wire is pure transport, ops/wire.py)."""
+"""Wire-format round-trip: pack_wire -> flatten -> unpack must reproduce
+the dense ABI exactly (the wire is pure transport, ops/wire.py).  The
+one deliberate exception is refid, which is replaced by refslot — an
+equality-preserving substitution the deblock bS test can't distinguish."""
 
 import numpy as np
 import pytest
@@ -10,17 +12,18 @@ from arrow_h264_tpu.models.pipeline import ABI_DEVICE_KEYS
 from arrow_h264_tpu.ops.abi import empty_frame_abi
 from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
 from arrow_h264_tpu.ops.wire import (
-    conform_wire, merge_specs, pack_wire, unpack_fn, wire_nbytes,
+    conform_sections, flatten_wire, merge_specs, pack_wire, unpack_fn,
+    wire_nbytes,
 )
 
 MB_W, MB_H = 11, 9
 
 
 def _roundtrip(abi, mb_w=MB_W, mb_h=MB_H):
-    wire, spec = pack_wire(abi, mb_w, mb_h)
-    dense = unpack_fn(mb_w, mb_h, spec)(
-        {k: jnp.asarray(v) for k, v in wire.items()})
-    return wire, spec, dense
+    sec, spec = pack_wire(abi, mb_w, mb_h)
+    buf = flatten_wire(sec, spec, mb_w * mb_h)
+    dense = unpack_fn(mb_w, mb_h, spec)(jnp.asarray(buf))
+    return buf, spec, dense
 
 
 def _check(abi, dense):
@@ -29,13 +32,12 @@ def _check(abi, dense):
         want = np.asarray(abi[k])
         assert got.shape == want.shape, k
         if k == "refid":
-            # remapped host-side; only equality structure must survive
-            eq = lambda a: a[..., None, :] == a[..., :, None]
+            # substituted by refslot host-side; only the equality
+            # structure must survive (deblock bS compares, never reads)
             neg = want < 0
             assert np.array_equal(got < 0, neg), k
             f_w = want.reshape(-1)
             f_g = got.reshape(-1)
-            # same-value pairs must map to same-value pairs (spot check)
             rng = np.random.default_rng(0)
             ii = rng.integers(0, f_w.size, 512)
             jj = rng.integers(0, f_w.size, 512)
@@ -46,18 +48,19 @@ def _check(abi, dense):
 
 def test_roundtrip_p_frame():
     abi = synthetic_abi_p(MB_W, MB_H, seed=3, n_slots=2)
-    wire, spec, dense = _roundtrip(abi)
+    buf, spec, dense = _roundtrip(abi)
     _check(abi, dense)
     dense_bytes = sum(np.asarray(abi[k]).nbytes for k in ABI_DEVICE_KEYS)
-    assert wire_nbytes(wire) < dense_bytes
+    # synthetic_abi_p is dense-random (worst case); real broadcast
+    # content packs ~50x — this only guards gross regressions
+    assert wire_nbytes(buf) < dense_bytes // 4
 
 
 def test_roundtrip_empty_and_edge_values():
     abi = empty_frame_abi(MB_W, MB_H)
-    n = MB_W * MB_H
-    # force edge coefficients: int16 extremes stay sparse
-    abi["luma4"][0, 0, 0, 0] = 32767
-    abi["luma4"][1, 5, 3, 3] = -32768
+    # int8-range coefficients stay on the bm8 sparse path
+    abi["luma4"][0, 0, 0, 0] = 127
+    abi["luma4"][1, 5, 3, 3] = -128
     abi["alpha_off"][:] = -12
     abi["beta_off"][:] = 12
     abi["pcm"][7] = np.arange(384) % 256
@@ -65,15 +68,39 @@ def test_roundtrip_empty_and_edge_values():
     _, spec, dense = _roundtrip(abi)
     _check(abi, dense)
     d = dict((f, s) for f, s, _ in spec)
-    assert d["l4"] == "sparse" and d["pcm"] == "sparse"
+    assert d["l4"] == "bm8" and d["pcm"] == "sparse"
 
 
-def test_overflow_falls_back_dense():
+def test_int8_overflow_falls_back_dense16():
+    abi = empty_frame_abi(MB_W, MB_H)
+    abi["luma4"][0, 0, 0, 0] = 32767     # > int8, fits int16
+    _, spec, dense = _roundtrip(abi)
+    _check(abi, dense)
+    assert ("l4", "dense16", 0) in spec
+
+
+def test_int16_overflow_falls_back_dense():
     abi = empty_frame_abi(MB_W, MB_H)
     abi["luma4"][0, 0, 0, 0] = 40000     # > int16
     _, spec, dense = _roundtrip(abi)
     _check(abi, dense)
     assert ("l4", "dense", 0) in spec
+
+
+def test_subpartitioned_mbs_nonuniform_rows():
+    abi = synthetic_abi_p(MB_W, MB_H, seed=3, n_slots=2)
+    # broadcast cell 0 across each MB (16x16-like content), then
+    # sub-partition a handful so the base scheme must carry
+    # non-uniform full-grid rows
+    for k in ("mv", "refidx", "refslot", "refid"):
+        abi[k][:] = abi[k][:, :1, :1]
+    abi["mv"][5, 2, 3, 0, 0] += 4
+    abi["refidx"][17, 1, 1, 0] = 1
+    abi["refslot"][17, 1, 1, 0] = 1
+    _, spec, dense = _roundtrip(abi)
+    _check(abi, dense)
+    d = dict((f, (s, b)) for f, s, b in spec)
+    assert d["inter"][0] == "base" and d["inter"][1] >= 2
 
 
 def test_weighted_tables_sparse_rows():
@@ -82,24 +109,23 @@ def test_weighted_tables_sparse_rows():
     abi["slogwd"][2] = (6, 5)
     _, spec, dense = _roundtrip(abi)
     _check(abi, dense)
-    assert ("wtab", "sparse", 16) in spec
+    d = dict((f, s) for f, s, _ in spec)
+    assert d["wtab"] == "sparse"
 
 
 def test_merge_and_conform_batch():
     a0 = synthetic_abi_p(MB_W, MB_H, seed=5, n_slots=2)
     a1 = empty_frame_abi(MB_W, MB_H)
     a1["luma4"][3, 2, 1, 1] = 9          # tiny sparse
-    w0, s0 = pack_wire(a0, MB_W, MB_H)
-    w1, s1 = pack_wire(a1, MB_W, MB_H)
-    tgt = merge_specs([s0, s1])
-    c0 = conform_wire(w0, s0, tgt, MB_W, MB_H)
-    c1 = conform_wire(w1, s1, tgt, MB_W, MB_H)
-    assert set(c0.keys()) == set(c1.keys())
-    for k in c0:
-        assert c0[k].shape == c1[k].shape, k
+    s0, sp0 = pack_wire(a0, MB_W, MB_H)
+    s1, sp1 = pack_wire(a1, MB_W, MB_H)
+    tgt = merge_specs([sp0, sp1])
+    n = MB_W * MB_H
+    b0 = flatten_wire(conform_sections(s0, sp0, tgt, MB_W, MB_H), tgt, n)
+    b1 = flatten_wire(conform_sections(s1, sp1, tgt, MB_W, MB_H), tgt, n)
+    assert b0.shape == b1.shape
     up = unpack_fn(MB_W, MB_H, tgt, batched=True)
-    dense = up({k: jnp.asarray(np.stack([c0[k], c1[k]]))
-                for k in c0})
+    dense = up(jnp.asarray(np.stack([b0, b1])))
     _check(a0, {k: v[0] for k, v in dense.items()})
     _check(a1, {k: v[1] for k, v in dense.items()})
 
