@@ -59,6 +59,37 @@ class Frame:
         return (self.y.tobytes() + self.cb.tobytes() + self.cr.tobytes())
 
 
+class PendingFrame:
+    """An output frame whose planes are still device arrays.
+
+    Batched decode (parallel.batch.BatchDecoder) defers the
+    device->host sync: per-frame `np.asarray` pays the transport
+    round-trip latency once PER FRAME, which on a high-latency link
+    caps end-to-end throughput regardless of compute.  Instead the
+    batch layer starts one async copy per round (`start_fetch`) and
+    materializes a round later (`finalize`), overlapping the wire
+    with the next round's host entropy parse."""
+
+    __slots__ = ("y", "cb", "cr", "sps", "poc")
+
+    def __init__(self, y, cb, cr, sps, poc):
+        self.y, self.cb, self.cr = y, cb, cr
+        self.sps, self.poc = sps, poc
+
+    def start_fetch(self) -> None:
+        for a in (self.y, self.cb, self.cr):
+            fn = getattr(a, "copy_to_host_async", None)
+            if fn is not None:
+                fn()
+
+    def finalize(self) -> Frame:
+        y = np.asarray(self.y)
+        cb = np.asarray(self.cb)
+        cr = np.asarray(self.cr)
+        y, cb, cr = crop_planes(self.sps, y, cb, cr)
+        return Frame(y=y, cb=cb, cr=cr, poc=self.poc)
+
+
 @dataclass
 class DecodeStats:
     """Per-decoder counters (SURVEY.md par.5 metrics/logging row)."""
@@ -108,6 +139,8 @@ class Decoder:
         self.entropy = entropy
         self._pic_pool = centropy.PicBufPool()
         self._gap_bumped: list = []
+        # set by BatchDecoder: _emit returns PendingFrame (no sync)
+        self.deferred_emit = False
 
     def _pipeline(self, sps: SPS, pps: PPS) -> DevicePipeline:
         key = (sps.seq_parameter_set_id, pps.pic_parameter_set_id,
@@ -289,6 +322,8 @@ class Decoder:
 
     def _emit(self, planes) -> Frame:
         y, cb, cr, sps, poc = planes
+        if self.deferred_emit:
+            return PendingFrame(y, cb, cr, sps, poc)
         t0 = time.perf_counter()
         y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
         self.stats.emit_sync_s += time.perf_counter() - t0

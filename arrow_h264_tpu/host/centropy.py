@@ -399,7 +399,9 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
     prediction ships as compact per-slice tables (ops.abi.fill_weight_tables)
     resolved to per-cell weights on device (models.pipeline.resolve_weights).
     """
-    from ..ops.abi import MAX_SLICES, fill_weight_tables, identity_wtab
+    from ..ops.abi import (
+        MAX_SLICES, fill_weight_tables, identity_wtab, patch_capacity,
+    )
     a = pic.a
     abi = FrameABI(
         kind=a["kind"], qp=a["qp"], luma4=a["luma4"], luma8=a["luma8"],
@@ -414,6 +416,7 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
         refid=a["refid"], refslot=a["refslot"], refidx=a["refidx"],
         wtab=identity_wtab(),
         slogwd=np.zeros((MAX_SLICES, 2), np.int32),
+        patch=np.full(patch_capacity(pic.mb_w, pic.mb_h), -1, np.int32),
         mb_w=pic.mb_w, mb_h=pic.mb_h,
     )
     fill_weight_tables(abi, pic.pps, pic.headers, pic.slice_reflists,

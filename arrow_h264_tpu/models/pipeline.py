@@ -37,9 +37,11 @@ if os.environ.get("ARROW_H264_NO_JAX_CACHE") != "1":
         pass
 
 from ..bitstream.params import PPS, SPS
-from ..ops.abi import KIND_P, FrameABI
+from ..ops.abi import KIND_P, FrameABI, patch_capacity
 from ..ops.deblock import deblock_planes, deblock_tables
-from ..ops.inter import PAD, halfpel_planes, inter_predict, pad_chroma
+from ..ops.inter import (
+    PAD, halfpel_planes, inter_predict, pad_chroma, patch_inter_pred,
+)
 from ..ops.intra import intra_reconstruct
 from ..ops.pallas.deblock_phase import deblock_phase_batch
 from ..ops.pallas.intra_phase import intra_phase_batch
@@ -67,7 +69,12 @@ ABI_DEVICE_KEYS = (
     "i4_modes", "i8_modes", "i16_mode", "chroma_mode", "i4_avail", "i8_avail",
     "mb_avail", "pcm", "nz", "tr8", "slice_id", "disable_idc", "alpha_off",
     "beta_off", "mv", "refid", "refslot", "refidx", "wtab", "slogwd",
+    "patch",
 )
+
+# Pallas-MC inter modes; the "p"-suffixed variants add the hybrid
+# per-cell gather repair pass for out-of-envelope cells (abi["patch"])
+_PL_MODES = ("pl0", "pl01", "pl0p", "pl01p")
 
 
 def resolve_weights(abi: dict) -> dict:
@@ -107,10 +114,31 @@ def _mc_pred(abi: dict, dpb_y4p, dpb_cp, slot_list, *, mb_w: int, mb_h: int,
     extra compiles)."""
     H, W = mb_h * 16, mb_w * 16
     abi_w = resolve_weights(abi)
-    if pallas and inter_mode in ("pl0", "pl01"):
-        lists = (0,) if inter_mode == "pl0" else (0, 1)
-        return inter_predict_pallas(
-            abi_w, dpb_y4p, dpb_cp, slot_list, mb_w, mb_h, lists=lists)
+    if pallas and inter_mode in _PL_MODES:
+        lists = (0, 1) if inter_mode.startswith("pl01") else (0,)
+        abi_k = abi_w
+        if inter_mode.endswith("p"):
+            # hybrid: mask the out-of-envelope cells (host-compacted in
+            # abi["patch"]) out of the kernel's candidate lists ...
+            n = mb_w * mb_h
+            patch = abi["patch"]
+            viol = jnp.zeros((n * 16,), jnp.bool_).at[
+                jnp.where(patch >= 0, patch, n * 16)
+            ].set(True, mode="drop")
+            abi_k = dict(abi_w)
+            abi_k["refslot"] = jnp.where(
+                viol.reshape(n, 4, 4)[..., None], -1, abi_w["refslot"])
+        preds = inter_predict_pallas(
+            abi_k, dpb_y4p, dpb_cp, slot_list, mb_w, mb_h, lists=lists)
+        if inter_mode.endswith("p"):
+            # ... then repair exactly those cells with the gather path
+            dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
+            dpb_c = unpack_u32_plane(
+                dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
+            preds = patch_inter_pred(
+                preds, abi_w, dpb_y4, dpb_c[:, 0], dpb_c[:, 1],
+                abi["patch"], mb_w, mb_h)
+        return preds
     dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
     dpb_c = unpack_u32_plane(
         dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
@@ -210,7 +238,7 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
     if inter_mode != "none":
         mc = functools.partial(_mc_pred, mb_w=mb_w, mb_h=mb_h,
                                pallas=pallas, inter_mode=inter_mode)
-        if pallas and inter_mode in ("pl0", "pl01"):
+        if pallas and inter_mode in _PL_MODES:
             # the MC kernel's HBM-ref DPB input can't go through the
             # Pallas vmap batching rule; loop per stream instead (the
             # kernel shape is identical each iteration, so Mosaic
@@ -255,41 +283,63 @@ def store_ref_fn(dpb_y4p, dpb_cp, slot, y, cb, cr):
 
 
 def select_inter_mode(abi: FrameABI, mb_w: int, mb_h: int):
-    """Pick the per-frame MC variant + slot list (host-side numpy).
+    """Pick the per-frame MC variant + slot list + patch cells (host numpy).
 
-    The Pallas path requires: MVs inside the kernel's slab window,
-    <= MAX_SLOTS distinct DPB slots, and <= CAP distinct
-    (slot, mv_int) candidates per 16-row band; else gather."""
+    The Pallas MC kernel requires: MVs inside its slab window, <=
+    MAX_SLOTS distinct DPB slots, and <= CAP distinct (slot, mv_int)
+    candidates per 16-row band.  Cells that violate any of these are
+    EVICTED into the `patch` list (repaired on device by the gather
+    pass, ops.inter.patch_inter_pred) instead of demoting the whole
+    frame; only when the evictions overflow the static patch capacity
+    does the frame fall back to the full gather path."""
+    n = mb_w * mb_h
+    K = patch_capacity(mb_w, mb_h)
+    patch = np.full(K, -1, np.int32)
     slot_list = np.full(MAX_SLOTS, -1, np.int32)
     if not bool(np.any(np.asarray(abi["kind"]) >= KIND_P)):
-        return "none", slot_list
+        return "none", slot_list, patch
     refslot = np.asarray(abi["refslot"])        # [n,4,4,2]
     used = refslot >= 0
     mv = np.where(used[..., None], np.asarray(abi["mv"]), 0)
     dxi = mv[..., 0] >> 2
     dyi = mv[..., 1] >> 2
     lists = (0, 1) if used[..., 1].any() else (0,)
-    mode = "pl0" if lists == (0,) else "pl01"
-    slots = np.unique(refslot[used])
-    if (len(slots) > MAX_SLOTS or dxi.min() < DX_MIN or
-        dxi.max() > DX_MAX or dyi.min() < DY_MIN or
-        dyi.max() > DY_MAX):
-        return "gather", slot_list
+    # (a) envelope violations -> per-CELL eviction (a patched cell is
+    # recomputed whole, both lists)
+    viol = (used & ((dxi < DX_MIN) | (dxi > DX_MAX) |
+                    (dyi < DY_MIN) | (dyi > DY_MAX))).any(-1)  # [n,4,4]
+    # (b) slot pressure: keep the MAX_SLOTS most-referenced slots
+    slots, counts = np.unique(refslot[used], return_counts=True)
+    if len(slots) > MAX_SLOTS:
+        keep = slots[np.argsort(-counts)][:MAX_SLOTS]
+        viol |= (used & ~np.isin(refslot, keep)).any(-1)
+        slots = np.sort(keep)
     slot_list[:len(slots)] = slots
-    # per-band distinct candidate check (both lists)
+    # (c) per-band candidate-CAP overflow: evict rarest candidates
     k = np.zeros_like(refslot)
     for i in range(len(slots)):
         k = np.where(refslot == slots[i], i, k)
-    cand = np.where(used, (k << 13) | ((dyi + 32) << 7) | (dxi + 48), -1)
-    n = mb_w * mb_h
-    per_band = cand.reshape(mb_h, mb_w * 16 * 2)
-    s = np.sort(per_band, axis=1)
-    prev = np.concatenate(
-        [np.full((mb_h, 1), -2, s.dtype), s[:, :-1]], axis=1)
-    uniq = ((s != prev) & (s >= 0)).sum(1)
-    if uniq.max(initial=0) > CAP:
-        return "gather", slot_list
-    return mode, slot_list
+    active = used & ~viol[..., None]
+    cand = np.where(active, (k << 13) | ((dyi + 32) << 7) | (dxi + 48), -1)
+    cand_b = cand.reshape(mb_h, mb_w, 4, 4, 2)
+    viol_b = viol.reshape(mb_h, mb_w, 4, 4)
+    for band in range(mb_h):
+        vals = cand_b[band][cand_b[band] >= 0]
+        if not len(vals):
+            continue
+        u, c = np.unique(vals, return_counts=True)
+        if len(u) <= CAP:
+            continue
+        evict = u[np.argsort(c)][: len(u) - CAP]
+        viol_b[band] |= np.isin(cand_b[band], evict).any(-1)
+    idx = np.flatnonzero(viol.ravel()).astype(np.int32)
+    if len(idx) > K:
+        return "gather", slot_list, patch
+    mode = "pl0" if lists == (0,) else "pl01"
+    if len(idx):
+        patch[: len(idx)] = idx
+        mode += "p"
+    return mode, slot_list, patch
 
 
 class DevicePipeline:
@@ -333,8 +383,9 @@ class DevicePipeline:
         return unpack_fn(self.mb_w, self.mb_h, spec)(jnp.asarray(buf))
 
     def decode_frame(self, abi: FrameABI):
+        mode, slot_list, patch = self._select_inter_mode(abi)
+        abi["patch"] = patch
         dev = self.upload_abi(abi)
-        mode, slot_list = self._select_inter_mode(abi)
         if mode not in self._fns:
             self._fns[mode] = jax.jit(
                 functools.partial(self._base, inter_mode=mode))

@@ -58,6 +58,13 @@ MAX_SLICES = 16   # slices per picture the weight tables cover (reject above)
 CONCEAL_SLICE = MAX_SLICES - 1  # identity weight row used by concealment
 
 
+def patch_capacity(mb_w: int, mb_h: int) -> int:
+    """Static size of the ABI 'patch' cell list: out-of-envelope inter
+    cells the hybrid MC path repairs with the gather pass (avg one cell
+    per MB before the frame demotes to the full gather path)."""
+    return max(256, mb_w * mb_h)
+
+
 def identity_wtab() -> np.ndarray:
     """[MAX_SLICES,33,33,3,4] int16 all-identity weight table."""
     w = np.zeros((MAX_SLICES, 33, 33, 3, 4), np.int16)
@@ -126,6 +133,7 @@ def empty_frame_abi(mb_w: int, mb_h: int) -> FrameABI:
         refidx=np.full((n, 4, 4, 2), -1, np.int32),
         wtab=identity_wtab(),
         slogwd=np.zeros((MAX_SLICES, 2), np.int32),
+        patch=np.full(patch_capacity(mb_w, mb_h), -1, np.int32),
         mb_w=mb_w, mb_h=mb_h,
     )
     return abi

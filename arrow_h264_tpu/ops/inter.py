@@ -149,19 +149,19 @@ def weight_bi_dev(p0, p1, w0, w1, o0, o1, log_wd):
     return jnp.clip(v, 0, 255)
 
 
-def inter_predict(abi, dpb_y4, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
-    """Prediction planes for all inter blocks (one batched kernel).
+def inter_predict_cells(abi, dpb_y4, dpb_cb, dpb_cr, blk, mb_w: int):
+    """Weighted quarter-pel MC for an arbitrary LIST of 4x4 cells.
 
-    dpb_y4 [S, 4, Hp, Wp]: precomputed (G, b, h, j) planes per slot.
-    Returns (pred_y [H, W], pred_cb, pred_cr) int32; intra-MB regions are
-    garbage (masked by the caller).
+    blk [K] i32: flat cell indices (mb * 16 + raster cell).  Shared core
+    of the full-frame gather path (blk = arange(n*16)) and the hybrid
+    per-cell patch pass that repairs out-of-envelope cells behind the
+    Pallas MC kernel.  Returns (y [K,4,4], cb [K,2,2], cr [K,2,2]) i32.
     """
-    n = mb_w * mb_h
-    mv = abi["mv"].reshape(n * 16, 2, 2)            # [N, list, (x, y)]
-    refslot = abi["refslot"].reshape(n * 16, 2)
+    n16 = abi["mv"].shape[0] * 16
+    mv = abi["mv"].reshape(n16, 2, 2)[blk]          # [K, list, (x, y)]
+    refslot = abi["refslot"].reshape(n16, 2)[blk]
     used = refslot >= 0
     slot = jnp.maximum(refslot, 0)
-    blk = jnp.arange(n * 16)
     mbi = blk // 16
     cell = blk % 16
     mbx = mbi % mb_w
@@ -186,9 +186,9 @@ def inter_predict(abi, dpb_y4, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
         preds_cr.append(pcr)
 
     wp = abi["wp"]                                   # [n,4,4,2,3,2]
-    wpf = wp.reshape(n * 16, 2, 3, 2)
-    logwd_y = jnp.repeat(abi["logwd"][:, 0], 16)     # [N]
-    logwd_c = jnp.repeat(abi["logwd"][:, 1], 16)
+    wpf = wp.reshape(n16, 2, 3, 2)[blk]
+    logwd_y = abi["logwd"][:, 0][mbi]                # [K]
+    logwd_c = abi["logwd"][:, 1][mbi]
 
     def combine(p0, p1, plane_idx, logwd):
         w0 = wpf[:, 0, plane_idx, 0][:, None, None]
@@ -206,6 +206,19 @@ def inter_predict(abi, dpb_y4, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
     out_y = combine(preds_y[0], preds_y[1], 0, logwd_y)
     out_cb = combine(preds_cb[0], preds_cb[1], 1, logwd_c)
     out_cr = combine(preds_cr[0], preds_cr[1], 2, logwd_c)
+    return out_y, out_cb, out_cr
+
+
+def inter_predict(abi, dpb_y4, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
+    """Prediction planes for all inter blocks (one batched kernel).
+
+    dpb_y4 [S, 4, Hp, Wp]: precomputed (G, b, h, j) planes per slot.
+    Returns (pred_y [H, W], pred_cb, pred_cr) int32; intra-MB regions are
+    garbage (masked by the caller).
+    """
+    n = mb_w * mb_h
+    out_y, out_cb, out_cr = inter_predict_cells(
+        abi, dpb_y4, dpb_cb, dpb_cr, jnp.arange(n * 16), mb_w)
 
     from .transforms import blocks4_to_plane
     pred_y = blocks4_to_plane(out_y.reshape(n, 16, 4, 4), mb_w, mb_h)
@@ -215,4 +228,42 @@ def inter_predict(abi, dpb_y4, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
         .reshape(mb_h * 8, mb_w * 8)
     pred_cr = pcr_mb.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3) \
         .reshape(mb_h * 8, mb_w * 8)
+    return pred_y, pred_cb, pred_cr
+
+
+def patch_inter_pred(preds, abi, dpb_y4, dpb_cb, dpb_cr, patch,
+                     mb_w: int, mb_h: int):
+    """Repair out-of-envelope cells in the Pallas MC prediction planes.
+
+    The Pallas MC kernel bounds its slab window / candidate encoding
+    (mc_kernel DX/DY/CAP/MAX_SLOTS); instead of demoting the WHOLE frame
+    to the full gather path when any cell violates the envelope (the
+    round-2 cliff), the host compacts the violating cells into `patch`
+    [K] i32 (flat mb*16+cell, -1 padded), the kernel runs with those
+    cells masked out, and this pass recomputes exactly those cells with
+    the spec gather path and scatters them into the prediction planes.
+    Padding entries scatter out of bounds and are dropped.
+    """
+    pred_y, pred_cb, pred_cr = preds
+    valid = patch >= 0
+    blk = jnp.where(valid, patch, 0)
+    out_y, out_cb, out_cr = inter_predict_cells(
+        abi, dpb_y4, dpb_cb, dpb_cr, blk, mb_w)
+    mbi = blk // 16
+    cell = blk % 16
+    bx = (mbi % mb_w) * 16 + (cell % 4) * 4
+    by = jnp.where(valid, (mbi // mb_w) * 16 + (cell // 4) * 4,
+                   jnp.int32(-(1 << 20)))
+    cx = (mbi % mb_w) * 8 + (cell % 4) * 2
+    cy = jnp.where(valid, (mbi // mb_w) * 8 + (cell // 4) * 2,
+                   jnp.int32(-(1 << 20)))
+    r4 = jnp.arange(4)
+    r2 = jnp.arange(2)
+    yy = by[:, None, None] + r4[None, :, None]
+    xx = bx[:, None, None] + r4[None, None, :]
+    pred_y = pred_y.at[yy, xx].set(out_y, mode="drop")
+    yyc = cy[:, None, None] + r2[None, :, None]
+    xxc = cx[:, None, None] + r2[None, None, :]
+    pred_cb = pred_cb.at[yyc, xxc].set(out_cb, mode="drop")
+    pred_cr = pred_cr.at[yyc, xxc].set(out_cr, mode="drop")
     return pred_y, pred_cb, pred_cr

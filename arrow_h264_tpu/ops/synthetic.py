@@ -6,6 +6,7 @@ import numpy as np
 
 from .abi import (
     MAX_SLICES, KIND_I4x4, KIND_I16, KIND_P, FrameABI, identity_wtab,
+    patch_capacity,
 )
 
 
@@ -43,6 +44,7 @@ def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
         refidx=np.full((n, 4, 4, 2), -1, np.int32),
         wtab=identity_wtab(),
         slogwd=np.zeros((MAX_SLICES, 2), np.int32),
+        patch=np.full(patch_capacity(mb_w, mb_h), -1, np.int32),
         mb_w=mb_w, mb_h=mb_h,
     )
     # geometric availability (single slice, raster order, no constrained intra)

@@ -130,6 +130,11 @@ def _sections_of(spec, n: int):
     if sch == "sparse":
         out += [("wt_idx", np.int32, (b,)),
                 ("wt_val", np.int16, (b, _WTAB_COLS))]
+
+    if "patch" in sd:                     # hybrid-MC repair cell list
+        sch, b = sd["patch"]
+        if sch == "sparse":
+            out += [("pt_idx", np.int32, (b,))]
     return out
 
 
@@ -367,6 +372,18 @@ def pack_wire(abi, mb_w: int, mb_h: int):
         vals[:k] = wt[rows[:b]].reshape(-1, _WTAB_COLS)
         sec["wt_idx"] = idx
         sec["wt_val"] = vals
+
+    pt = abi.get("patch")
+    k = 0 if pt is None else int((np.asarray(pt) >= 0).sum())
+    if k == 0:
+        spec.append(("patch", "zero", 0))
+    else:
+        pt = np.asarray(pt, np.int32)
+        b = _bucket(k, len(pt))
+        idx = np.full(b, -1, np.int32)
+        idx[:k] = pt[:k]
+        sec["pt_idx"] = idx
+        spec.append(("patch", "sparse", b))
     return sec, tuple(spec)
 
 
@@ -494,6 +511,11 @@ def conform_sections(sec, spec, target, mb_w: int, mb_h: int):
                 vals[:b] = out.pop("wt_val")
             out["wt_idx"] = idx
             out["wt_val"] = vals
+        elif f == "patch":
+            idx = np.full(tb, -1, np.int32)
+            if sch == "sparse":
+                idx[:b] = out.pop("pt_idx")
+            out["pt_idx"] = idx
         elif f in _COEFF_SHAPES:
             cpm, w = next((c, ww) for ff, _, c, ww in _COEFF_FIELDS
                           if ff == f)
@@ -686,6 +708,14 @@ def unpack_wire_frame(buf, *, mb_w: int, mb_h: int, spec):
             [ident, jnp.zeros((1,) + ident.shape[1:], ident.dtype)])
         out["wtab"] = upd.at[idx].set(vals)[:MAX_SLICES]
     out["slogwd"] = out["slogwd"].astype(jnp.int32)
+
+    from .abi import patch_capacity
+    K = patch_capacity(mb_w, mb_h)
+    patch = jnp.full((K,), -1, jnp.int32)
+    if "patch" in sd and sd["patch"][0] == "sparse":
+        idx = _read(buf, table, "pt_idx")
+        patch = patch.at[: idx.shape[0]].set(idx)
+    out["patch"] = patch
     return out
 
 

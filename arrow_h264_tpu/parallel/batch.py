@@ -38,14 +38,24 @@ class BatchDecoder:
     """Decode N same-resolution streams in lockstep, batch-sharded."""
 
     def __init__(self, n_streams: int, mesh: Mesh | None = None,
-                 entropy: str = "cpp"):
+                 entropy: str = "cpp", materialize: bool = True):
         if mesh is None:
             n_dev = max(1, len(jax.devices()))
             use = n_dev if n_streams % n_dev == 0 else 1
             mesh = Mesh(np.array(jax.devices()[:use]), ("stream",))
         self.mesh = mesh
         self.n_streams = n_streams
+        # materialize=False keeps output planes as device-resident
+        # api.PendingFrame objects (caller finalizes or consumes them
+        # on device — e.g. feeding another TPU model)
+        self.materialize = materialize
         self.decoders = [Decoder(entropy=entropy) for _ in range(n_streams)]
+        for d in self.decoders:
+            # one overlapped device->host copy per ROUND instead of a
+            # blocking np.asarray per FRAME (api.PendingFrame): the
+            # per-frame sync pays the link's round-trip latency B times
+            # per round and serializes host parse behind it
+            d.deferred_emit = True
         self._sharding = NamedSharding(mesh, P("stream"))
         self.errors: list = [None] * n_streams
         self._geom = None
@@ -110,6 +120,7 @@ class BatchDecoder:
                 for d, s in zip(self.decoders, streams)]
         pending: list = [None] * B
         frames: list[list[Frame]] = [[] for _ in range(B)]
+        in_flight: list[tuple[int, int]] = []   # deferred (lane, idx)
         self.errors = [None] * B
 
         def advance(i):
@@ -132,14 +143,20 @@ class BatchDecoder:
         def pack(i):
             pic, poc = pending[i]
             try:
+                sps = pic.sps
+                mb_w = sps.pic_width_in_mbs
+                mb_h = sps.pic_height_in_map_units
                 abi = self.decoders[i].pack_abi(pic, poc)
+                # mode selection (incl. hybrid-MC patch compaction) runs
+                # in the parse pool, before the wire pack ships the
+                # patch list as a wire section
+                mode, sl, patch = select_inter_mode(abi, mb_w, mb_h)
+                abi["patch"] = patch
                 if use_wire:
                     from ..ops.wire import pack_wire
-                    sps = pic.sps
-                    ws = pack_wire(abi, sps.pic_width_in_mbs,
-                                   sps.pic_height_in_map_units)
-                    return i, (abi, ws)
-                return i, (abi, None)
+                    ws = pack_wire(abi, mb_w, mb_h)
+                    return i, (abi, ws, mode, sl)
+                return i, (abi, None, mode, sl)
             except Exception as e:
                 self.errors[i] = e
                 gens[i] = None
@@ -150,9 +167,11 @@ class BatchDecoder:
             live = [i for i in range(B) if pending[i] is not None]
             abis = {}
             wires = {}
+            lane_modes = {}
+            slot_lists = {}
             for i, packed in self._pool.map(pack, live):
                 if packed is not None:
-                    abis[i], wires[i] = packed
+                    abis[i], wires[i], lane_modes[i], slot_lists[i] = packed
             live = [i for i in live if i in abis]
             if not live:
                 break
@@ -164,19 +183,17 @@ class BatchDecoder:
                     pic0.sps.pic_height_in_map_units) == self._geom, \
                 "lockstep streams must share resolution"
 
-            # unify the round's MC variant (superset order)
-            modes = []
-            slot_lists = {}
-            for i in live:
-                m, sl = select_inter_mode(abis[i], mb_w, mb_h)
-                modes.append(m)
-                slot_lists[i] = sl
+            # unify the round's MC variant (superset lattice: gather >
+            # {list1} x {patched}; a lane needing only the hybrid patch
+            # no longer demotes the round to gather — the round-2 cliff)
+            modes = [lane_modes[i] for i in live]
             if "gather" in modes:
                 mode = "gather"
-            elif "pl01" in modes:
-                mode = "pl01"
-            elif "pl0" in modes:
-                mode = "pl0"
+            elif any(m.startswith("pl") for m in modes):
+                mode = "pl01" if any(m.startswith("pl01") for m in modes) \
+                    else "pl0"
+                if any(m.endswith("p") for m in modes):
+                    mode += "p"
             else:
                 mode = "none"
 
@@ -220,6 +237,7 @@ class BatchDecoder:
             # commit per stream; collect reference stores for one batched
             # sharded store (trash slot self.n_slots for non-storing lanes)
             store_slots = np.full(B, self.n_slots, np.int32)
+            mark = [len(frames[i]) for i in range(B)]
             for i in live:
                 pic, poc = pending[i]
 
@@ -243,6 +261,17 @@ class BatchDecoder:
             todo = [i for i in live if self.errors[i] is None]
             for i in todo:
                 pending[i] = None
+            # start ONE overlapped device->host copy for this round's
+            # emitted frames; materialize LAST round's (whose transfer
+            # has been riding the link during this round's device work)
+            if self.materialize:
+                new_fetch = [(i, j) for i in range(B)
+                             for j in range(mark[i], len(frames[i]))]
+                for i, j in new_fetch:
+                    frames[i][j].start_fetch()
+                for i, j in in_flight:
+                    frames[i][j] = frames[i][j].finalize()
+                in_flight = new_fetch
             # parse the next round's pictures across host cores while the
             # device round above is still executing (pipeline overlap)
             list(self._pool.map(advance, todo))
@@ -251,6 +280,18 @@ class BatchDecoder:
             if self.errors[i] is None and self.decoders[i].dpb is not None:
                 frames[i].extend(self.decoders[i]._emit(p)
                                  for p in self.decoders[i].dpb.flush())
+        # finalize everything still deferred (tail rounds + DPB flush):
+        # start every remaining copy first, then materialize
+        if self.materialize:
+            from ..api import PendingFrame
+            for row in frames:
+                for f in row:
+                    if isinstance(f, PendingFrame):
+                        f.start_fetch()
+            for i in range(B):
+                frames[i] = [f.finalize()
+                             if isinstance(f, PendingFrame) else f
+                             for f in frames[i]]
         return frames
 
 

@@ -147,3 +147,89 @@ def test_mc_pallas_small_mvs_zero():
         abi, y4p, cps, [0, 1, 2, -1], MB_W, MB_H, lists=(0,))
     ref_y = dpb_y4[1, 0, PAD:PAD + H, PAD:PAD + W]
     assert (np.asarray(got_y) == ref_y).all()
+
+
+# ---------------------------------------------------------------------------
+# hybrid patch path: out-of-envelope cells repaired by the gather pass
+# ---------------------------------------------------------------------------
+
+def _full_abi(abi_np):
+    """Extend the bare MC test abi with the fields select_inter_mode and
+    resolve_weights read (already-dense wp short-circuits resolve)."""
+    from arrow_h264_tpu.ops.abi import patch_capacity
+    abi = dict(abi_np)
+    abi.setdefault("kind", np.full(MB_W * MB_H, 4, np.int32))
+    return abi
+
+
+def test_select_inter_mode_evicts_to_patch():
+    from arrow_h264_tpu.models.pipeline import select_inter_mode
+    from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
+    abi = synthetic_abi_p(MB_W, MB_H, seed=3, n_slots=2, n_mv=8)
+    # in-envelope baseline
+    m0, sl0, p0 = select_inter_mode(abi, MB_W, MB_H)
+    assert m0 == "pl0" and (p0 == -1).all()
+    # blow the envelope on three cells -> patched mode, not gather
+    abi["mv"][1, 0, 0, 0] = [999, -999]
+    abi["mv"][5, 2, 1, 0] = [-800, 0]
+    abi["mv"][7, 3, 3, 0] = [0, 700]
+    for mb in (1, 5, 7):
+        abi["kind"][mb] = 4
+        abi["refslot"][mb, ..., 0] = 0
+    m, sl, patch = select_inter_mode(abi, MB_W, MB_H)
+    assert m == "pl0p"
+    got = set(patch[patch >= 0].tolist())
+    assert got == {1 * 16 + 0 * 4 + 0, 5 * 16 + 2 * 4 + 1, 7 * 16 + 3 * 4 + 3}
+
+
+def test_select_inter_mode_slot_pressure_to_patch():
+    from arrow_h264_tpu.models.pipeline import select_inter_mode
+    from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
+    abi = synthetic_abi_p(MB_W, MB_H, seed=4, n_slots=4, n_mv=8)
+    # a 5th slot on two cells: evicted to patch, not a gather demotion
+    abi["kind"][2] = abi["kind"][3] = 4
+    abi["refslot"][2, ..., 0] = np.maximum(abi["refslot"][2, ..., 0], 0)
+    abi["refslot"][3, ..., 0] = np.maximum(abi["refslot"][3, ..., 0], 0)
+    abi["refslot"][2, 1, 1, 0] = 9
+    abi["refslot"][3, 0, 2, 0] = 9
+    m, sl, patch = select_inter_mode(abi, MB_W, MB_H)
+    assert m == "pl0p"
+    assert 9 not in set(sl.tolist())
+    got = set(patch[patch >= 0].tolist())
+    assert got == {2 * 16 + 1 * 4 + 1, 3 * 16 + 0 * 4 + 2}
+
+
+@pytest.mark.parametrize("lists,weighted", [
+    ((0,), False), ((0, 1), True),
+])
+def test_mc_patch_matches_gather(lists, weighted):
+    """Frame with ~5% wild cells: hybrid pl*p output == full gather."""
+    from arrow_h264_tpu.models.pipeline import _mc_pred, select_inter_mode
+
+    rng = np.random.default_rng(11 + len(lists))
+    dpb_y4, dpb_cb, dpb_cr, y4p, cps = make_dpb(rng)
+    abi_np = make_abi(rng, lists=lists, weighted=weighted)
+    n = MB_W * MB_H
+    # wild MVs on ~5% of cells (far outside the DX/DY envelope but inside
+    # the padded planes' clamp region after edge extension)
+    wild = rng.random((n, 4, 4)) < 0.05
+    wmv = rng.integers(-500, 500, (n, 4, 4, 2, 2)).astype(np.int32)
+    abi_np["mv"] = np.where(wild[..., None, None], wmv, abi_np["mv"])
+    abi = _full_abi(abi_np)
+    mode, sl, patch = select_inter_mode(abi, MB_W, MB_H)
+    assert mode == ("pl0p" if lists == (0,) else "pl01p")
+    abi["patch"] = patch
+    abi_j = {k: jnp.asarray(v) for k, v in abi.items()}
+    got = _mc_pred(abi_j, y4p, cps, jnp.asarray(sl), mb_w=MB_W, mb_h=MB_H,
+                   pallas=True, inter_mode=mode)
+    ref = _mc_pred(abi_j, y4p, cps, jnp.asarray(sl), mb_w=MB_W, mb_h=MB_H,
+                   pallas=False, inter_mode="gather")
+    used = (abi_np["refslot"] >= 0).any(-1)
+    m = used.reshape(MB_H, MB_W, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(MB_H * 4, MB_W * 4)
+    masks = (np.repeat(np.repeat(m, 4, 0), 4, 1),
+             np.repeat(np.repeat(m, 2, 0), 2, 1),
+             np.repeat(np.repeat(m, 2, 0), 2, 1))
+    for g, r, msk, name in zip(got, ref, masks, ("y", "cb", "cr")):
+        bad = (np.asarray(g) != np.asarray(r)) & msk
+        assert not bad.any(), (name, np.argwhere(bad)[:4])
