@@ -48,7 +48,8 @@ from ..ops.pallas.intra_phase import intra_phase_batch
 from ..ops.pallas.mc_kernel import (
     CAP, DX_MAX, DX_MIN, DY_MAX, DY_MIN, MAX_SLOTS, PADC, chroma_lanes,
     chroma_rows,
-    inter_predict_pallas, luma_lanes, pack_u8_plane, unpack_u32_plane,
+    inter_predict_pallas_batch, luma_lanes, pack_u8_plane,
+    unpack_u32_plane,
 )
 from ..ops.transforms import _mb_mask_to_plane, make_ws_consts, residual_planes
 
@@ -113,37 +114,61 @@ def _mc_pred(abi: dict, dpb_y4p, dpb_cp, slot_list, *, mb_w: int, mb_h: int,
     vmap everything else (Mosaic caches the kernel, so the loop costs no
     extra compiles)."""
     H, W = mb_h * 16, mb_w * 16
-    abi_w = resolve_weights(abi)
     if pallas and inter_mode in _PL_MODES:
-        lists = (0, 1) if inter_mode.startswith("pl01") else (0,)
-        abi_k = abi_w
-        if inter_mode.endswith("p"):
-            # hybrid: mask the out-of-envelope cells (host-compacted in
-            # abi["patch"]) out of the kernel's candidate lists ...
-            n = mb_w * mb_h
-            patch = abi["patch"]
-            viol = jnp.zeros((n * 16,), jnp.bool_).at[
-                jnp.where(patch >= 0, patch, n * 16)
-            ].set(True, mode="drop")
-            abi_k = dict(abi_w)
-            abi_k["refslot"] = jnp.where(
-                viol.reshape(n, 4, 4)[..., None], -1, abi_w["refslot"])
-        preds = inter_predict_pallas(
-            abi_k, dpb_y4p, dpb_cp, slot_list, mb_w, mb_h, lists=lists)
-        if inter_mode.endswith("p"):
-            # ... then repair exactly those cells with the gather path
-            dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
-            dpb_c = unpack_u32_plane(
-                dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
-            preds = patch_inter_pred(
-                preds, abi_w, dpb_y4, dpb_c[:, 0], dpb_c[:, 1],
-                abi["patch"], mb_w, mb_h)
-        return preds
+        preds = _mc_pred_batch(
+            {k: v[None] for k, v in abi.items()}, dpb_y4p[None],
+            dpb_cp[None], jnp.asarray(slot_list, jnp.int32)[None],
+            mb_w=mb_w, mb_h=mb_h, inter_mode=inter_mode)
+        return tuple(p[0] for p in preds)
+    abi_w = resolve_weights(abi)
     dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
     dpb_c = unpack_u32_plane(
         dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
     return inter_predict(
         abi_w, dpb_y4, dpb_c[:, 0], dpb_c[:, 1], mb_w, mb_h)
+
+
+def _mc_pred_batch(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
+                   mb_w: int, mb_h: int, inter_mode: str):
+    """Batched Pallas MC (+ hybrid patch repair) over the stream axis.
+
+    The kernels run ONCE on a (stream, band) grid
+    (mc_kernel.inter_predict_pallas_batch); the XLA prep, weight
+    resolve, patch masking, and gather repair vmap over streams."""
+    H, W = mb_h * 16, mb_w * 16
+    n = mb_w * mb_h
+    abi_w_b = jax.vmap(resolve_weights)(abi_b)
+    lists = (0, 1) if inter_mode.startswith("pl01") else (0,)
+    refslot_k = abi_w_b["refslot"]
+    if inter_mode.endswith("p"):
+        # hybrid: mask the out-of-envelope cells (host-compacted in
+        # abi["patch"]) out of the kernel's candidate lists ...
+        def mask_one(patch, refslot):
+            viol = jnp.zeros((n * 16,), jnp.bool_).at[
+                jnp.where(patch >= 0, patch, n * 16)
+            ].set(True, mode="drop")
+            return jnp.where(viol.reshape(n, 4, 4)[..., None], -1, refslot)
+
+        refslot_k = jax.vmap(mask_one)(abi_b["patch"], refslot_k)
+    sub = {"mv": abi_w_b["mv"], "refslot": refslot_k,
+           "wp": abi_w_b["wp"], "logwd": abi_w_b["logwd"]}
+    preds = inter_predict_pallas_batch(
+        sub, dpb_y_b, dpb_c_b, slots_b, mb_w, mb_h, lists=lists)
+    if inter_mode.endswith("p"):
+        # ... then repair exactly those cells with the gather path
+        def repair_one(preds1, mv, refslot, wp, logwd, dpb_y4p, dpb_cp,
+                       patch):
+            dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
+            dpb_c = unpack_u32_plane(
+                dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
+            a = {"mv": mv, "refslot": refslot, "wp": wp, "logwd": logwd}
+            return patch_inter_pred(preds1, a, dpb_y4, dpb_c[:, 0],
+                                    dpb_c[:, 1], patch, mb_w, mb_h)
+
+        preds = jax.vmap(repair_one)(
+            preds, abi_w_b["mv"], abi_w_b["refslot"], abi_w_b["wp"],
+            abi_w_b["logwd"], dpb_y_b, dpb_c_b, abi_b["patch"])
+    return preds
 
 
 def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
@@ -236,18 +261,16 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
         pallas = _use_pallas()
     preds_b = None
     if inter_mode != "none":
-        mc = functools.partial(_mc_pred, mb_w=mb_w, mb_h=mb_h,
-                               pallas=pallas, inter_mode=inter_mode)
         if pallas and inter_mode in _PL_MODES:
-            # the MC kernel's HBM-ref DPB input can't go through the
-            # Pallas vmap batching rule; loop per stream instead (the
-            # kernel shape is identical each iteration, so Mosaic
-            # compiles it once)
-            per = [mc({k: v[i] for k, v in abi_b.items()},
-                      dpb_y_b[i], dpb_c_b[i], slots_b[i])
-                   for i in range(n_streams)]
-            preds_b = tuple(jnp.stack(p) for p in zip(*per))
+            # ONE batched kernel launch on a (stream, band) grid — the
+            # HBM-ref DPB input can't go through the Pallas vmap
+            # batching rule, so the batch axis lives in the kernel grid
+            preds_b = _mc_pred_batch(abi_b, dpb_y_b, dpb_c_b, slots_b,
+                                     mb_w=mb_w, mb_h=mb_h,
+                                     inter_mode=inter_mode)
         else:
+            mc = functools.partial(_mc_pred, mb_w=mb_w, mb_h=mb_h,
+                                   pallas=pallas, inter_mode=inter_mode)
             preds_b = jax.vmap(mc)(abi_b, dpb_y_b, dpb_c_b, slots_b)
     post = functools.partial(_post_mc, mb_w=mb_w, mb_h=mb_h, ws4=ws4,
                              ws8=ws8, cqp_off=cqp_off, pallas=pallas)

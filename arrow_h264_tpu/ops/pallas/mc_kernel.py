@@ -259,7 +259,8 @@ def _swar_avg(a, b):
 def _luma_kernel(slots_ref, band_ref, cmap_ref, m12_ref, dpb_ref,
                  out_ref, sb, rr, tt, st, sem, *, n_lanes: int,
                  n_bands: int):
-    band = pl.program_id(0)
+    bb = pl.program_id(0)          # stream lane (batched grid)
+    band = pl.program_id(1)
     tmask = band_ref[0, 0, 2]
 
     # Band slabs are double-buffered: band b computes from sb[b%2] (DMA
@@ -271,7 +272,7 @@ def _luma_kernel(slots_ref, band_ref, cmap_ref, m12_ref, dpb_ref,
         for k in range(MAX_SLOTS):
             slot = jnp.maximum(slots_ref[0, 0, k], 0)
             getattr(pltpu.make_async_copy(
-                dpb_ref.at[slot, :, pl.ds(r0, 64), :],
+                dpb_ref.at[bb, slot, :, pl.ds(r0, 64), :],
                 sb.at[buf, k], sem.at[buf, k]), method)()
 
     @pl.when(band == 0)
@@ -359,8 +360,9 @@ def _chroma_kernel(slots_ref, band_ref, ce_ref, co_ref,
     # sublane-tile count is not a power of two (40 rows = 5 tiles broke
     # it; 64 rows = 8 tiles is exact).  The DMA start is clamped so the
     # last bands stay in bounds; `off` rebases the roll accordingly.
-    Hcp = dpb_ref.shape[2]
-    band = pl.program_id(0)
+    Hcp = dpb_ref.shape[3]
+    bb = pl.program_id(0)          # stream lane (batched grid)
+    band = pl.program_id(1)
     off = band * 8 - jnp.minimum(band * 8, Hcp - 64)
 
     def dma_band(buf: int, b, method: str):
@@ -368,7 +370,7 @@ def _chroma_kernel(slots_ref, band_ref, ce_ref, co_ref,
         for k in range(MAX_SLOTS):
             slot = jnp.maximum(slots_ref[0, 0, k], 0)
             getattr(pltpu.make_async_copy(
-                dpb_ref.at[slot, :, pl.ds(r0, 64), :],
+                dpb_ref.at[bb, slot, :, pl.ds(r0, 64), :],
                 sb.at[buf, k], sem.at[buf, k]), method)()
 
     @pl.when(band == 0)
@@ -448,35 +450,45 @@ def _chroma_kernel(slots_ref, band_ref, ce_ref, co_ref,
             v = ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B +
                  (8 - xf) * yf * C + xf * yf * D + 32) >> 6
             out = out | (_u32(v) << sh)
-        out_ref[p, :, :] = out
+        out_ref[0, p, :, :] = out
 
 
 # ---------------------------------------------------------------------------
 # host-callable wrappers
 # ---------------------------------------------------------------------------
 
-def mc_luma_pallas(dpb_y4p, cand_map, m12_map, bandinfo, slot_list,
-                   mb_w: int, mb_h: int, interpret: bool | None = None):
-    """dpb_y4p [S, 4, Hp, WL] u32 -> packed pred [H, WL] u32."""
+def mc_luma_pallas_batch(dpb_y4p_b, cand_map_b, m12_map_b, bandinfo_b,
+                         slots_b, mb_w: int, mb_h: int,
+                         interpret: bool | None = None):
+    """Batched MC luma: ONE kernel over a (stream, band) grid.
+
+    dpb_y4p_b [B, S, 4, Hp, WL] u32; cand/m12 [B, H, WL] i32;
+    bandinfo_b [B, mb_h, 3+CAP] i32; slots_b [B, MAX_SLOTS] i32.
+    Returns packed pred [B, H, WL] u32.  One launch for the whole stream
+    batch — the per-stream python loop this replaces compiled B copies
+    of the call graph and paid B launch overheads."""
+    B = dpb_y4p_b.shape[0]
     H = mb_h * 16
-    WL = dpb_y4p.shape[3]
+    WL = dpb_y4p_b.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    smem = lambda a: pl.BlockSpec((1, 1, a.shape[2]), lambda i: (i, 0, 0),
-                                  memory_space=pltpu.SMEM)
-    smem0 = lambda a: pl.BlockSpec((1, 1, a.shape[2]), lambda i: (0, 0, 0),
-                                   memory_space=pltpu.SMEM)
-    vmap_spec = pl.BlockSpec((16, WL), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    slots = jnp.asarray(slot_list, jnp.int32).reshape(1, 1, MAX_SLOTS)
-    bandinfo = bandinfo.reshape(bandinfo.shape[0], 1, -1)
-    return pl.pallas_call(
+    smem = lambda a: pl.BlockSpec(
+        (1, 1, a.shape[2]), lambda b, i: (b * mb_h + i, 0, 0),
+        memory_space=pltpu.SMEM)
+    smem0 = lambda a: pl.BlockSpec(
+        (1, 1, a.shape[2]), lambda b, i: (b, 0, 0),
+        memory_space=pltpu.SMEM)
+    vspec = pl.BlockSpec((16, WL), lambda b, i: (b * mb_h + i, 0),
+                         memory_space=pltpu.VMEM)
+    slots = jnp.asarray(slots_b, jnp.int32).reshape(B, 1, MAX_SLOTS)
+    bandinfo = bandinfo_b.reshape(B * mb_h, 1, -1)
+    out = pl.pallas_call(
         functools.partial(_luma_kernel, n_lanes=WL, n_bands=mb_h),
-        out_shape=jax.ShapeDtypeStruct((H, WL), jnp.uint32),
-        grid=(mb_h,),
-        in_specs=[smem0(slots), smem(bandinfo), vmap_spec, vmap_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, WL), jnp.uint32),
+        grid=(B, mb_h),
+        in_specs=[smem0(slots), smem(bandinfo), vspec, vspec,
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=vmap_spec,
+        out_specs=vspec,
         scratch_shapes=[pltpu.VMEM((2, MAX_SLOTS, 4, 64, WL), jnp.uint32),
                         pltpu.VMEM((4, 64, WL), jnp.uint32),
                         pltpu.VMEM((8, 16, WL), jnp.uint32),
@@ -484,31 +496,39 @@ def mc_luma_pallas(dpb_y4p, cand_map, m12_map, bandinfo, slot_list,
                         pltpu.SemaphoreType.DMA((2, MAX_SLOTS))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(slots, bandinfo, cand_map, m12_map, dpb_y4p)
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(slots, bandinfo, cand_map_b.reshape(B * H, WL),
+      m12_map_b.reshape(B * H, WL), dpb_y4p_b)
+    return out.reshape(B, H, WL)
 
 
-def mc_chroma_pallas(dpb_cp, cand_e, cand_o, xfyf, bandinfo, slot_list,
-                     mb_w: int, mb_h: int, interpret: bool | None = None):
-    """dpb_cp [S, 2, Hcp, WLc] u32 -> packed pred [2, H2, WLc] u32."""
+def mc_chroma_pallas_batch(dpb_cp_b, cand_e_b, cand_o_b, xfyf_b, bandinfo_b,
+                           slots_b, mb_w: int, mb_h: int,
+                           interpret: bool | None = None):
+    """Batched MC chroma: dpb_cp_b [B, S, 2, Hcp, WLc] u32 ->
+    packed pred [B, 2, H2, WLc] u32 (see mc_luma_pallas_batch)."""
+    B = dpb_cp_b.shape[0]
     H2 = mb_h * 8
-    WLc = dpb_cp.shape[3]
+    WLc = dpb_cp_b.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    smem = lambda a: pl.BlockSpec((1, 1, a.shape[2]), lambda i: (i, 0, 0),
-                                  memory_space=pltpu.SMEM)
-    smem0 = lambda a: pl.BlockSpec((1, 1, a.shape[2]), lambda i: (0, 0, 0),
-                                   memory_space=pltpu.SMEM)
-    vspec = pl.BlockSpec((8, WLc), lambda i: (i, 0),
+    smem = lambda a: pl.BlockSpec(
+        (1, 1, a.shape[2]), lambda b, i: (b * mb_h + i, 0, 0),
+        memory_space=pltpu.SMEM)
+    smem0 = lambda a: pl.BlockSpec(
+        (1, 1, a.shape[2]), lambda b, i: (b, 0, 0),
+        memory_space=pltpu.SMEM)
+    vspec = pl.BlockSpec((8, WLc), lambda b, i: (b * mb_h + i, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((2, 8, WLc), lambda i: (0, i, 0),
+    ospec = pl.BlockSpec((1, 2, 8, WLc), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM)
-    slots = jnp.asarray(slot_list, jnp.int32).reshape(1, 1, MAX_SLOTS)
-    bandinfo = bandinfo.reshape(bandinfo.shape[0], 1, -1)
+    slots = jnp.asarray(slots_b, jnp.int32).reshape(B, 1, MAX_SLOTS)
+    bandinfo = bandinfo_b.reshape(B * mb_h, 1, -1)
+    flat = lambda a: a.reshape(B * H2, WLc)
     return pl.pallas_call(
         functools.partial(_chroma_kernel, n_lanes=WLc, n_bands=mb_h),
-        out_shape=jax.ShapeDtypeStruct((2, H2, WLc), jnp.uint32),
-        grid=(mb_h,),
+        out_shape=jax.ShapeDtypeStruct((B, 2, H2, WLc), jnp.uint32),
+        grid=(B, mb_h),
         in_specs=[smem0(slots), smem(bandinfo), vspec, vspec,
                   vspec, vspec, vspec, vspec,
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -520,37 +540,32 @@ def mc_chroma_pallas(dpb_cp, cand_e, cand_o, xfyf, bandinfo, slot_list,
                         pltpu.SemaphoreType.DMA((2, MAX_SLOTS))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(slots, bandinfo, cand_e, cand_o, *xfyf, dpb_cp)
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(slots, bandinfo, flat(cand_e_b), flat(cand_o_b),
+      *[flat(x) for x in xfyf_b], dpb_cp_b)
 
 
-def inter_predict_pallas(abi, dpb_y4p, dpb_cp, slot_list,
-                         mb_w: int, mb_h: int, lists=(0, 1),
-                         interpret: bool | None = None):
-    """Same contract as ops.inter.inter_predict, Pallas MC path.
+def mc_luma_pallas(dpb_y4p, cand_map, m12_map, bandinfo, slot_list,
+                   mb_w: int, mb_h: int, interpret: bool | None = None):
+    """dpb_y4p [S, 4, Hp, WL] u32 -> packed pred [H, WL] u32."""
+    return mc_luma_pallas_batch(
+        dpb_y4p[None], cand_map[None], m12_map[None], bandinfo[None],
+        jnp.asarray(slot_list, jnp.int32)[None], mb_w, mb_h, interpret)[0]
 
-    dpb_y4p [S, 4, Hp, WL] u32 packed; dpb_cp [S, 2, Hcp, WLc] u32 packed.
-    Returns (pred_y [H, W], pred_cb, pred_cr) int32 (intra lanes garbage).
-    """
+
+def mc_chroma_pallas(dpb_cp, cand_e, cand_o, xfyf, bandinfo, slot_list,
+                     mb_w: int, mb_h: int, interpret: bool | None = None):
+    """dpb_cp [S, 2, Hcp, WLc] u32 -> packed pred [2, H2, WLc] u32."""
+    return mc_chroma_pallas_batch(
+        dpb_cp[None], cand_e[None], cand_o[None], [x[None] for x in xfyf],
+        bandinfo[None], jnp.asarray(slot_list, jnp.int32)[None],
+        mb_w, mb_h, interpret)[0]
+
+
+def _mc_combine(abi, preds_y, preds_c, mb_w: int, mb_h: int, lists):
+    """Weighted / bi prediction combine of the two per-list MC planes
+    (identical maps to ops.inter.inter_predict)."""
     n = mb_w * mb_h
-    H, W = mb_h * 16, mb_w * 16
-    preds_y, preds_c = [], []
-    for lst in lists:
-        cand_map, m12_map, binfo = mc_prepare_luma(
-            abi, mb_w, mb_h, slot_list, lst)
-        py = mc_luma_pallas(dpb_y4p, cand_map, m12_map, binfo, slot_list,
-                            mb_w, mb_h, interpret)
-        preds_y.append(unpack_u32_plane(py, W).astype(jnp.int32))
-        ce, co, xfyf, binfo_c = mc_prepare_chroma(
-            abi, mb_w, mb_h, slot_list, lst)
-        pc = mc_chroma_pallas(dpb_cp, ce, co, xfyf, binfo_c, slot_list,
-                              mb_w, mb_h, interpret)
-        preds_c.append(unpack_u32_plane(pc, W // 2).astype(jnp.int32))
-    if len(lists) == 1:
-        preds_y.append(preds_y[0])
-        preds_c.append(preds_c[0])
-
-    # weighted / bi combine (identical maps to inter_predict_banded)
     refslot = abi["refslot"].reshape(n, 16, 2)
     used = refslot >= 0
 
@@ -585,3 +600,60 @@ def inter_predict_pallas(abi, dpb_y4p, dpb_cp, slot_list,
     pred_cb = comb(preds_c[0][0], preds_c[1][0], 1, lw_c, u0c, u1c, 2)
     pred_cr = comb(preds_c[0][1], preds_c[1][1], 2, lw_c, u0c, u1c, 2)
     return pred_y, pred_cb, pred_cr
+
+
+def inter_predict_pallas_batch(abi_b, dpb_y_b, dpb_c_b, slots_b,
+                               mb_w: int, mb_h: int, lists=(0, 1),
+                               interpret: bool | None = None):
+    """Batched Pallas MC over the stream axis.
+
+    abi_b: dict with [B, ...]-leading "mv", "refslot", "wp", "logwd"
+    (weights already resolved); dpb_y_b [B, S, 4, Hp, WL] u32 packed;
+    dpb_c_b [B, S, 2, Hcp, WLc]; slots_b [B, MAX_SLOTS] i32.
+    Returns ([B, H, W], [B, H2, W2] x2) int32 (intra lanes garbage).
+    The XLA prep + combine vmap over streams; the kernels run ONCE on a
+    (stream, band) grid."""
+    W = mb_w * 16
+    mv_rs = {"mv": abi_b["mv"], "refslot": abi_b["refslot"]}
+    preds_y, preds_c = [], []
+    for lst in lists:
+        cand, m12, binfo = jax.vmap(
+            lambda a, s: mc_prepare_luma(a, mb_w, mb_h, s, lst))(
+            mv_rs, slots_b)
+        py = mc_luma_pallas_batch(dpb_y_b, cand, m12, binfo, slots_b,
+                                  mb_w, mb_h, interpret)
+        preds_y.append(unpack_u32_plane(py, W).astype(jnp.int32))
+        ce, co, xfyf, binfo_c = jax.vmap(
+            lambda a, s: mc_prepare_chroma(a, mb_w, mb_h, s, lst))(
+            mv_rs, slots_b)
+        pc = mc_chroma_pallas_batch(dpb_c_b, ce, co, xfyf, binfo_c,
+                                    slots_b, mb_w, mb_h, interpret)
+        preds_c.append(unpack_u32_plane(pc, W // 2).astype(jnp.int32))
+    if len(lists) == 1:
+        preds_y.append(preds_y[0])
+        preds_c.append(preds_c[0])
+
+    def comb_one(refslot, wp, logwd, y0, y1, c0, c1):
+        return _mc_combine({"refslot": refslot, "wp": wp, "logwd": logwd},
+                           [y0, y1], [c0, c1], mb_w, mb_h, lists)
+
+    return jax.vmap(comb_one)(
+        abi_b["refslot"], abi_b["wp"], abi_b["logwd"],
+        preds_y[0], preds_y[1], preds_c[0], preds_c[1])
+
+
+def inter_predict_pallas(abi, dpb_y4p, dpb_cp, slot_list,
+                         mb_w: int, mb_h: int, lists=(0, 1),
+                         interpret: bool | None = None):
+    """Same contract as ops.inter.inter_predict, Pallas MC path.
+
+    dpb_y4p [S, 4, Hp, WL] u32 packed; dpb_cp [S, 2, Hcp, WLc] u32 packed.
+    Returns (pred_y [H, W], pred_cb, pred_cr) int32 (intra lanes garbage).
+    """
+    abi_b = {k: jnp.asarray(abi[k])[None]
+             for k in ("mv", "refslot", "wp", "logwd")}
+    out = inter_predict_pallas_batch(
+        abi_b, dpb_y4p[None], dpb_cp[None],
+        jnp.asarray(slot_list, jnp.int32)[None], mb_w, mb_h, lists,
+        interpret)
+    return tuple(o[0] for o in out)

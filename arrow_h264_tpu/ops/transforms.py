@@ -179,57 +179,88 @@ def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
     """
     kind = abi["kind"]
     qp = abi["qp"]
+    n = kind.shape[0]
     is_intra = kind <= KIND_IPCM
+    # All-zero coeff tensors arrive OMITTED from the dict (ops.wire
+    # unpack): skip the corresponding dequant/IDCT path entirely — a
+    # CAVLC Baseline frame never pays the 8x8 path, a skip-heavy B
+    # frame pays no chroma IDCT, and nobody pays the 12.5 MB/frame PCM
+    # plane select unless a PCM MB actually occurred.
 
-    # ---- luma 4x4 path
-    ls_intra = _gather_ls(ws4[0], qp)            # [n,4,4]
-    ls_inter = _gather_ls(ws4[3], qp)
-    ls_y = jnp.where(is_intra[:, None, None], ls_intra, ls_inter)
-    d4 = dequant4x4_dev(abi["luma4"], qp[:, None], ls_y[:, None])
-    dc = luma_dc_dequant_dev(abi["luma_dc"], qp, ws4[0, :, 0, 0])
-    is16 = (kind == KIND_I16)[:, None]
-    d4 = d4.at[:, :, 0, 0].set(jnp.where(is16, dc.reshape(-1, 16), d4[:, :, 0, 0]))
-    plane4 = blocks4_to_plane(idct4x4_dev(d4), mb_w, mb_h)
+    # ---- luma 4x4 path (+ I16 DC scatter)
+    if "luma4" in abi or "luma_dc" in abi:
+        if "luma4" in abi:
+            ls_intra = _gather_ls(ws4[0], qp)        # [n,4,4]
+            ls_inter = _gather_ls(ws4[3], qp)
+            ls_y = jnp.where(is_intra[:, None, None], ls_intra, ls_inter)
+            d4 = dequant4x4_dev(abi["luma4"], qp[:, None], ls_y[:, None])
+        else:
+            d4 = jnp.zeros((n, 16, 4, 4), jnp.int32)
+        if "luma_dc" in abi:
+            dc = luma_dc_dequant_dev(abi["luma_dc"], qp, ws4[0, :, 0, 0])
+            is16 = (kind == KIND_I16)[:, None]
+            d4 = d4.at[:, :, 0, 0].set(
+                jnp.where(is16, dc.reshape(-1, 16), d4[:, :, 0, 0]))
+        plane4 = blocks4_to_plane(idct4x4_dev(d4), mb_w, mb_h)
+    else:
+        plane4 = jnp.zeros((mb_h * 16, mb_w * 16), jnp.int32)
+    res_y = plane4
 
     # ---- luma 8x8 path
-    ls8 = jnp.where(is_intra[:, None, None], _gather_ls(ws8[0], qp),
-                    _gather_ls(ws8[1], qp))
-    d8 = dequant8x8_dev(abi["luma8"], qp[:, None], ls8[:, None])
-    plane8 = blocks8_to_plane(idct8x8_dev(d8), mb_w, mb_h)
-    tr8_plane = _mb_mask_to_plane(abi["tr8"] > 0, mb_w, mb_h, 16)
-    res_y = jnp.where(tr8_plane, plane8, plane4)
+    if "luma8" in abi:
+        ls8 = jnp.where(is_intra[:, None, None], _gather_ls(ws8[0], qp),
+                        _gather_ls(ws8[1], qp))
+        d8 = dequant8x8_dev(abi["luma8"], qp[:, None], ls8[:, None])
+        plane8 = blocks8_to_plane(idct8x8_dev(d8), mb_w, mb_h)
+        tr8_plane = _mb_mask_to_plane(abi["tr8"] > 0, mb_w, mb_h, 16)
+        res_y = jnp.where(tr8_plane, plane8, plane4)
 
     # ---- PCM luma (residual = raw samples; prediction stage emits 0)
-    pcm_plane = blocks4_to_plane(_pcm_luma_blocks(abi["pcm"]), mb_w, mb_h)
-    is_pcm_plane = _mb_mask_to_plane(kind == KIND_IPCM, mb_w, mb_h, 16)
-    res_y = jnp.where(is_pcm_plane, pcm_plane, res_y)
+    if "pcm" in abi:
+        pcm_plane = blocks4_to_plane(_pcm_luma_blocks(abi["pcm"]),
+                                     mb_w, mb_h)
+        is_pcm_plane = _mb_mask_to_plane(kind == KIND_IPCM, mb_w, mb_h, 16)
+        res_y = jnp.where(is_pcm_plane, pcm_plane, res_y)
 
     # ---- chroma
     res_c = []
     for pl in range(2):
-        qpc = _sel52(_CQP, jnp.clip(qp + cqp_off[pl], 0, 51))
-        ls_c = jnp.where(is_intra[:, None, None], _gather_ls(ws4[1 + pl], qpc),
-                         _gather_ls(ws4[4 + pl], qpc))
+        if "chroma_ac" in abi or "chroma_dc" in abi:
+            qpc = _sel52(_CQP, jnp.clip(qp + cqp_off[pl], 0, 51))
 
-        def sel6(tab6, m):
-            o = jnp.broadcast_to(tab6[0], m.shape)
-            for k in range(1, 6):
-                o = jnp.where(m == k, tab6[k], o)
-            return o
+            def sel6(tab6, m):
+                o = jnp.broadcast_to(tab6[0], m.shape)
+                for k in range(1, 6):
+                    o = jnp.where(m == k, tab6[k], o)
+                return o
 
-        ls00 = jnp.where(is_intra, sel6(ws4[1 + pl, :, 0, 0], qpc % 6),
-                         sel6(ws4[4 + pl, :, 0, 0], qpc % 6))
-        dcc = chroma_dc_dequant_dev(abi["chroma_dc"][:, pl], qpc, ls00)
-        ac = abi["chroma_ac"][:, pl].reshape(-1, 4, 4, 4)
-        dca = dequant4x4_dev(ac, qpc[:, None], ls_c[:, None])
-        dca = dca.at[:, :, 0, 0].set(dcc.reshape(-1, 4))
-        rc = idct4x4_dev(dca).reshape(-1, 2, 2, 4, 4)
-        plane_c = blocks_c_to_plane(rc, mb_w, mb_h)
-        pcm_c = blocks_c_to_plane(
-            abi["pcm"][:, 256 + 64 * pl:256 + 64 * (pl + 1)]
-            .reshape(-1, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4), mb_w, mb_h)
-        is_pcm_c = _mb_mask_to_plane(kind == KIND_IPCM, mb_w, mb_h, 8)
-        res_c.append(jnp.where(is_pcm_c, pcm_c, plane_c))
+            if "chroma_ac" in abi:
+                ls_c = jnp.where(is_intra[:, None, None],
+                                 _gather_ls(ws4[1 + pl], qpc),
+                                 _gather_ls(ws4[4 + pl], qpc))
+                ac = abi["chroma_ac"][:, pl].reshape(-1, 4, 4, 4)
+                dca = dequant4x4_dev(ac, qpc[:, None], ls_c[:, None])
+            else:
+                dca = jnp.zeros((n, 4, 4, 4), jnp.int32)
+            if "chroma_dc" in abi:
+                ls00 = jnp.where(is_intra,
+                                 sel6(ws4[1 + pl, :, 0, 0], qpc % 6),
+                                 sel6(ws4[4 + pl, :, 0, 0], qpc % 6))
+                dcc = chroma_dc_dequant_dev(abi["chroma_dc"][:, pl], qpc,
+                                            ls00)
+                dca = dca.at[:, :, 0, 0].set(dcc.reshape(-1, 4))
+            rc = idct4x4_dev(dca).reshape(-1, 2, 2, 4, 4)
+            plane_c = blocks_c_to_plane(rc, mb_w, mb_h)
+        else:
+            plane_c = jnp.zeros((mb_h * 8, mb_w * 8), jnp.int32)
+        if "pcm" in abi:
+            pcm_c = blocks_c_to_plane(
+                abi["pcm"][:, 256 + 64 * pl:256 + 64 * (pl + 1)]
+                .reshape(-1, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4),
+                mb_w, mb_h)
+            is_pcm_c = _mb_mask_to_plane(kind == KIND_IPCM, mb_w, mb_h, 8)
+            plane_c = jnp.where(is_pcm_c, pcm_c, plane_c)
+        res_c.append(plane_c)
     return res_y, res_c[0], res_c[1]
 
 

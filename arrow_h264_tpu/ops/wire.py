@@ -674,7 +674,11 @@ def unpack_wire_frame(buf, *, mb_w: int, mb_h: int, spec):
         sch, b = sd[f]
         shape = (n,) + _COEFF_SHAPES[f]
         if sch == "zero":
-            out[key] = jnp.zeros(shape, jnp.int32)
+            # all-zero coeff tensors are OMITTED from the dict, not
+            # materialized: ops.transforms.residual_planes skips the
+            # corresponding dequant/IDCT path entirely (a zero luma8
+            # alone is ~8 MB/frame of HBM writes + a full 8x8 IDCT)
+            continue
         elif sch in ("dense", "dense16"):
             out[key] = _read(buf, table, f + "_dense").astype(jnp.int32) \
                 .reshape(shape)
@@ -687,7 +691,7 @@ def unpack_wire_frame(buf, *, mb_w: int, mb_h: int, spec):
 
     sch, b = sd["pcm"]
     if sch == "zero":
-        out["pcm"] = jnp.zeros((n, 384), jnp.int32)
+        pass                      # omitted, like zero coeff tensors
     elif sch == "dense":
         out["pcm"] = _read(buf, table, "pcm_val").astype(jnp.int32)
     else:

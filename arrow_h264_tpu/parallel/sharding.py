@@ -76,10 +76,10 @@ def sharded_store_fn(mesh: Mesh, n_streams: int | None = None):
     per_dev = n_streams // n_dev
 
     def stacked(dpb_y_b, dpb_c_b, slot_b, y_b, cb_b, cr_b):
-        outs = [store_ref_fn(dpb_y_b[i], dpb_c_b[i], slot_b[i],
-                             y_b[i], cb_b[i], cr_b[i])
-                for i in range(per_dev)]
-        return tuple(jnp.stack(o) for o in zip(*outs))
+        # store_ref_fn is pure XLA (halfpel + pack + slot write): vmap
+        # instead of an unrolled per-stream loop (one traced body)
+        return jax.vmap(store_ref_fn)(dpb_y_b, dpb_c_b, slot_b,
+                                      y_b, cb_b, cr_b)
 
     spec = P("stream")
     mapped = jax.shard_map(stacked, mesh=mesh, in_specs=(spec,) * 6,

@@ -175,10 +175,39 @@ def bench_device_only():
     return batch / t
 
 
+def bench_device_intra():
+    """All-intra 1080p device reconstruction (the phase-batched intra
+    kernel path, inter_mode="none") at batch=8."""
+    from arrow_h264_tpu.models.pipeline import (
+        ABI_DEVICE_KEYS, decode_frames_batch_fn, dpb_alloc,
+    )
+    from arrow_h264_tpu.ops.synthetic import synthetic_abi
+    from arrow_h264_tpu.ops.transforms import make_ws_consts
+    from tools.devtime import devtime
+    mb_w, mb_h = 120, 68
+    batch = 8
+    ws4, ws8 = make_ws_consts([[16] * 16] * 6, [[16] * 64] * 2)
+    fn = functools.partial(
+        decode_frames_batch_fn, mb_w=mb_w, mb_h=mb_h,
+        ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8), cqp_off=(0, 0),
+        n_streams=batch, inter_mode="none")
+    hosts = [synthetic_abi(mb_w, mb_h, seed=i) for i in range(batch)]
+    abi_b = {k: jnp.asarray(np.stack([h[k] for h in hosts]))
+             for k in ABI_DEVICE_KEYS}
+    dpb = dpb_alloc(mb_w, mb_h, 1)
+    dpb_y = jnp.broadcast_to(dpb[0][None], (batch,) + dpb[0].shape) + 0
+    dpb_c = jnp.broadcast_to(dpb[1][None], (batch,) + dpb[1].shape) + 0
+    slots = jnp.broadcast_to(
+        jnp.asarray(np.array([-1, -1, -1, -1], np.int32)), (batch, 4))
+    t = devtime(fn, abi_b, dpb_y, dpb_c, slots, n1=2, n2=6)
+    return batch / t
+
+
 def main() -> None:
     datas = make_streams()
     kbit = sum(len(d) for d in datas) * 8 / (N_SRC * N_FRAMES) / 1000
     dev_fps = bench_device_only()
+    intra_fps = bench_device_intra()
     host_fps = bench_host(datas)
     e2e_fps, warm_s, timed_s = bench_e2e(datas)
     dr_fps, _chk = bench_e2e_device_resident(datas)
@@ -192,6 +221,7 @@ def main() -> None:
         "vs_baseline": round(e2e_fps / 1000.0, 4),
         "e2e_device_resident_fps": round(dr_fps, 2),
         "device_recon_fps": round(dev_fps, 2),
+        "device_intra_fps": round(intra_fps, 2),
         "host_parse_fps": round(host_fps, 2),
         "host_cores": os.cpu_count(),
         "d2h_link_GBps": round(bw, 3),

@@ -233,3 +233,32 @@ def test_mc_patch_matches_gather(lists, weighted):
     for g, r, msk, name in zip(got, ref, masks, ("y", "cb", "cr")):
         bad = (np.asarray(g) != np.asarray(r)) & msk
         assert not bad.any(), (name, np.argwhere(bad)[:4])
+
+
+def test_mc_pallas_batch_matches_single():
+    """B=3 batched (stream, band)-grid kernel == per-stream B=1 calls."""
+    from arrow_h264_tpu.ops.pallas.mc_kernel import inter_predict_pallas_batch
+
+    B = 3
+    abis, dpbs_y, dpbs_c, singles = [], [], [], []
+    slots = [0, 1, 2, -1]
+    for b in range(B):
+        rng = np.random.default_rng(900 + b)
+        _, _, _, y4p, cps = make_dpb(rng)
+        abi_np = make_abi(rng, lists=(0, 1), weighted=(b % 2 == 1))
+        abi = {k: jnp.asarray(v) for k, v in abi_np.items()}
+        singles.append(inter_predict_pallas(
+            abi, y4p, cps, slots, MB_W, MB_H, lists=(0, 1)))
+        abis.append(abi)
+        dpbs_y.append(y4p)
+        dpbs_c.append(cps)
+    abi_b = {k: jnp.stack([a[k] for a in abis])
+             for k in ("mv", "refslot", "wp", "logwd")}
+    got = inter_predict_pallas_batch(
+        abi_b, jnp.stack(dpbs_y), jnp.stack(dpbs_c),
+        jnp.asarray(np.tile(np.array(slots, np.int32), (B, 1))),
+        MB_W, MB_H, lists=(0, 1))
+    for b in range(B):
+        for g, r, name in zip((got[0][b], got[1][b], got[2][b]),
+                              singles[b], ("y", "cb", "cr")):
+            assert (np.asarray(g) == np.asarray(r)).all(), (b, name)
