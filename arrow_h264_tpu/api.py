@@ -180,6 +180,7 @@ class Decoder:
         """
         cur: PictureParse | None = None
         cur_poc = 0
+        prev_hdr = None
         for u in nal.parse_annexb(data):
             if u.nal_unit_type == nal.NAL_SPS:
                 sp = parse_sps(u.rbsp)
@@ -206,7 +207,31 @@ class Decoder:
                     if self.conceal:
                         continue             # lost slice header
                     raise
-                if hdr.first_mb_in_slice == 0:
+                # Picture boundary: without FMO/ASO the first slice of a
+                # picture starts at MB 0.  With FMO the first slice can
+                # start anywhere (its group's first MB) and with ASO the
+                # MB-0 slice may arrive mid-picture, so boundary = any
+                # header-field change (spec 7.4.1.2.4 subset) or a slice
+                # whose first MB this picture already parsed.
+                if pps.num_slice_groups > 1:
+                    mbs = getattr(cur, "mbs", None)
+                    new_pic = (cur is None or prev_hdr is None
+                               or hdr.pic_parameter_set_id !=
+                                   prev_hdr.pic_parameter_set_id
+                               or hdr.frame_num != prev_hdr.frame_num
+                               or hdr.is_idr != prev_hdr.is_idr
+                               or (hdr.is_idr and
+                                   hdr.idr_pic_id != prev_hdr.idr_pic_id)
+                               or hdr.pic_order_cnt_lsb !=
+                                   prev_hdr.pic_order_cnt_lsb
+                               or hdr.delta_pic_order_cnt !=
+                                   prev_hdr.delta_pic_order_cnt
+                               or (mbs is not None and
+                                   mbs[hdr.first_mb_in_slice] is not None))
+                else:
+                    new_pic = hdr.first_mb_in_slice == 0
+                prev_hdr = hdr
+                if new_pic:
                     if cur is not None:
                         yield cur, cur_poc
                         # by the generator contract (docstring above) the
@@ -219,9 +244,12 @@ class Decoder:
                     if self.dpb is None or self._dpb_sps_id !=                             sps.seq_parameter_set_id:
                         self.dpb = DPB(sps)
                         self._dpb_sps_id = sps.seq_parameter_set_id
+                    # FMO pictures take the Python entropy path (the C++
+                    # parser iterates raster-order; SURVEY.md §2 FMO row)
                     cur = (centropy.CppPictureParse(sps, pps,
                                                     pool=self._pic_pool)
                            if self.entropy == "cpp"
+                           and pps.num_slice_groups == 1
                            else PictureParse(sps, pps))
                     # spec 8.2.5.2: synthesize non-existing refs for
                     # frame_num gaps; bind them to slot 0 so a (non-
@@ -259,7 +287,7 @@ class Decoder:
 
     def pack_abi(self, pic, poc: int):
         """Entropy results -> frame ABI (+ optional JSONL trace)."""
-        if self.entropy == "cpp":
+        if isinstance(pic, centropy.CppPictureParse):
             abi = centropy.pack_frame_cpp(pic, poc)
         else:
             abi = pack_frame(pic, poc)

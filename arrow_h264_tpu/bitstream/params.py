@@ -398,6 +398,14 @@ class PPS:
     entropy_coding_mode_flag: int = 0
     bottom_field_pic_order_in_frame_present_flag: int = 0
     num_slice_groups: int = 1
+    # FMO slice-group map (spec 7.3.2.2 / 8.2.2; JM-lineage fmo.c)
+    slice_group_map_type: int = 0
+    run_length: list = field(default_factory=list)          # type 0
+    top_left: list = field(default_factory=list)            # type 2
+    bottom_right: list = field(default_factory=list)        # type 2
+    slice_group_change_direction_flag: int = 0              # types 3..5
+    slice_group_change_rate: int = 1                        # types 3..5
+    slice_group_id: list | None = None                      # type 6
     num_ref_idx_l0_default_active: int = 1
     num_ref_idx_l1_default_active: int = 1
     weighted_pred_flag: int = 0
@@ -431,7 +439,26 @@ def parse_pps(rbsp: bytes, sps_map: dict[int, SPS]) -> PPS:
     p.bottom_field_pic_order_in_frame_present_flag = r.u1()
     p.num_slice_groups = r.ue() + 1
     if p.num_slice_groups > 1:
-        raise NotImplementedError("FMO (num_slice_groups>1) not supported")
+        # FMO (spec 7.3.2.2).  Decoded by the Python entropy path; the
+        # map itself is derived per slice in bitstream.fmo.
+        p.slice_group_map_type = r.ue()
+        t = p.slice_group_map_type
+        if t == 0:
+            p.run_length = [r.ue() + 1 for _ in range(p.num_slice_groups)]
+        elif t == 2:
+            p.top_left, p.bottom_right = [], []
+            for _ in range(p.num_slice_groups - 1):
+                p.top_left.append(r.ue())
+                p.bottom_right.append(r.ue())
+        elif t in (3, 4, 5):
+            p.slice_group_change_direction_flag = r.u1()
+            p.slice_group_change_rate = r.ue() + 1
+        elif t == 6:
+            cnt = r.ue() + 1
+            bits = max(1, (p.num_slice_groups - 1).bit_length())
+            p.slice_group_id = [r.u(bits) for _ in range(cnt)]
+        elif t != 1:
+            raise ValueError(f"bad slice_group_map_type {t}")
     p.num_ref_idx_l0_default_active = r.ue() + 1
     p.num_ref_idx_l1_default_active = r.ue() + 1
     p.weighted_pred_flag = r.u1()
@@ -502,6 +529,24 @@ def write_pps(p: PPS, high_tail: bool = False) -> bytes:
     w.u(p.entropy_coding_mode_flag, 1)
     w.u(p.bottom_field_pic_order_in_frame_present_flag, 1)
     w.ue(p.num_slice_groups - 1)
+    if p.num_slice_groups > 1:
+        w.ue(p.slice_group_map_type)
+        t = p.slice_group_map_type
+        if t == 0:
+            for rl in p.run_length:
+                w.ue(rl - 1)
+        elif t == 2:
+            for tl, br in zip(p.top_left, p.bottom_right):
+                w.ue(tl)
+                w.ue(br)
+        elif t in (3, 4, 5):
+            w.u(p.slice_group_change_direction_flag, 1)
+            w.ue(p.slice_group_change_rate - 1)
+        elif t == 6:
+            w.ue(len(p.slice_group_id) - 1)
+            bits = max(1, (p.num_slice_groups - 1).bit_length())
+            for g in p.slice_group_id:
+                w.u(g, bits)
     w.ue(p.num_ref_idx_l0_default_active - 1)
     w.ue(p.num_ref_idx_l1_default_active - 1)
     w.u(p.weighted_pred_flag, 1)

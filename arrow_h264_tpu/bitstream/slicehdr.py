@@ -74,6 +74,7 @@ class SliceHeader:
     disable_deblocking_filter_idc: int = 0
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
+    slice_group_change_cycle: int = 0  # FMO map types 3..5 (spec 7.4.3)
     # filled by caller:
     is_idr: bool = False
     nal_ref_idc: int = 1
@@ -274,6 +275,11 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS,
         if h.disable_deblocking_filter_idc != 1:
             h.slice_alpha_c0_offset_div2 = r.se()
             h.slice_beta_offset_div2 = r.se()
+    if pps.num_slice_groups > 1 and pps.slice_group_map_type in (3, 4, 5):
+        n_units = sps.pic_width_in_mbs * sps.pic_height_in_map_units
+        v = max(1, (n_units // pps.slice_group_change_rate + 1
+                    - 1).bit_length())
+        h.slice_group_change_cycle = r.u(v)
     return h
 
 
@@ -317,3 +323,8 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
         if h.disable_deblocking_filter_idc != 1:
             w.se(h.slice_alpha_c0_offset_div2)
             w.se(h.slice_beta_offset_div2)
+    if pps.num_slice_groups > 1 and pps.slice_group_map_type in (3, 4, 5):
+        n_units = sps.pic_width_in_mbs * sps.pic_height_in_map_units
+        v = max(1, (n_units // pps.slice_group_change_rate + 1
+                    - 1).bit_length())
+        w.u(h.slice_group_change_cycle, v)

@@ -833,6 +833,7 @@ class CabacSliceParser:
         prev_qp = self.qp
         addr = hdr.first_mb_in_slice
         n = pic.mb_w * pic.mb_h
+        nxt = pic.mb_iter(hdr)
         while True:
             if addr >= n:
                 raise ValueError("CABAC slice overruns picture")
@@ -858,7 +859,7 @@ class CabacSliceParser:
             else:
                 t = self.mb_type_i(mb_x, mb_y)
                 prev_qp = self.parse_i_mb(t, mb_x, mb_y, prev_qp)
-            addr += 1
+            addr = nxt(addr)
             if self.dec.terminate():
                 break
 

@@ -780,6 +780,17 @@ class PictureParse:
 
     # -- slice driver ---------------------------------------------------------
 
+    def mb_iter(self, hdr: SliceHeader):
+        """MB-address successor for this slice: raster +1 without FMO,
+        NextMbAddress over the slice-group map with it (spec 8.2.2.8)."""
+        if self.pps.num_slice_groups == 1:
+            return lambda a: a + 1
+        from ..bitstream.fmo import mb_slice_group_map, next_mb_address
+        sgmap = mb_slice_group_map(
+            self.sps, self.pps,
+            getattr(hdr, "slice_group_change_cycle", 0))
+        return lambda a: next_mb_address(sgmap, a)
+
     def parse_slice(self, r: BitReader, hdr: SliceHeader,
                     reflists: tuple = ((), ()), cur_poc: int = 0) -> None:
         """Parse slice_data (CAVLC I/P/B slices)."""
@@ -794,6 +805,7 @@ class PictureParse:
         prev_qp = hdr.qp(self.pps)
         addr = hdr.first_mb_in_slice
         n = self.mb_w * self.mb_h
+        nxt = self.mb_iter(hdr)
         while True:
             if addr >= n:
                 raise ValueError("slice data overruns picture")
@@ -808,7 +820,7 @@ class PictureParse:
                     else:
                         self.parse_b_skip(mb_x, mb_y, cur_slice, prev_qp,
                                           hdr, l0, l1, cur_poc)
-                    addr += 1
+                    addr = nxt(addr)
                 if not r.more_rbsp_data():
                     break
                 if addr >= n:
@@ -833,7 +845,7 @@ class PictureParse:
             else:
                 _, prev_qp = self.parse_i_mb(r, mb_type, mb_x, mb_y,
                                              cur_slice, prev_qp)
-            addr += 1
+            addr = nxt(addr)
             if not r.more_rbsp_data():
                 break
 

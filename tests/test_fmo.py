@@ -1,0 +1,115 @@
+"""FMO / ASO conformance (SURVEY.md §2 "FMO / ASO" row, spec 8.2.2).
+
+The system libavcodec does NOT implement FMO ("FMO is not implemented"),
+so the usual golden-decode oracle is unavailable.  The streams are
+therefore all-I_PCM: PCM carries pixels verbatim and PCM macroblocks
+deblock with QPY = 0 (spec 8.7.2), where alpha(0) = beta(0) = 0 disables
+every edge filter — the spec-exact output IS the authored PCM content
+assembled at each MB's address.  That golden verifies the whole FMO
+machinery end to end (PPS syntax, per-slice map derivation,
+NextMbAddress iteration, out-of-order assembly): a decoder that walked
+raster order would place MBs at the wrong addresses.  The map formulas
+themselves are additionally pinned by hand-computed unit cases below so
+the authored golden cannot share a map bug with the decoder."""
+
+import numpy as np
+import pytest
+
+from arrow_h264_tpu.bitstream.fmo import mb_slice_group_map
+from arrow_h264_tpu.bitstream.params import PPS, SPS
+from tools.fmo_streams import SCENARIOS, make_fmo_stream, pcm_golden
+
+
+def _ours(data: bytes):
+    from arrow_h264_tpu.api import Decoder
+    dec = Decoder()
+    out = []
+    for f in dec.decode_annexb(data):
+        out.append(np.concatenate([f.y.ravel(), f.cb.ravel(),
+                                   f.cr.ravel()]))
+    return out
+
+
+@pytest.mark.parametrize("scenario", sorted(SCENARIOS))
+def test_fmo_map_types_bit_exact(scenario):
+    pps_kwargs, cycle = SCENARIOS[scenario]
+    data = make_fmo_stream(pps_kwargs, n_frames=2, change_cycle=cycle)
+    golden = pcm_golden(pps_kwargs, n_frames=2, change_cycle=cycle)
+    got = _ours(data)
+    assert len(got) == len(golden), (len(got), len(golden))
+    for j, ours in enumerate(got):
+        assert np.array_equal(ours, golden[j]), (scenario, j)
+
+
+def test_aso_slice_order_bit_exact():
+    """ASO: the slices of each picture arrive in reverse group order
+    (the MB-0 slice mid-picture), exercising the header-change picture
+    boundary detector."""
+    pps_kwargs, _ = SCENARIOS["dispersed_t1"]
+    data = make_fmo_stream(pps_kwargs, n_frames=2, slice_order=[2, 1, 0])
+    golden = pcm_golden(pps_kwargs, n_frames=2)
+    got = _ours(data)
+    assert len(got) == len(golden)
+    for j, ours in enumerate(got):
+        assert np.array_equal(ours, golden[j]), j
+
+
+# ---- map-formula pins (hand-computed from spec 8.2.2.1-8.2.2.7) ----------
+
+def _map(mb_w, mb_h, cycle=0, **pps_kwargs):
+    sps = SPS(pic_width_in_mbs=mb_w, pic_height_in_map_units=mb_h)
+    return mb_slice_group_map(sps, PPS(**pps_kwargs), cycle).tolist()
+
+
+def test_map_type0_interleave():
+    assert _map(4, 2, num_slice_groups=2, slice_group_map_type=0,
+                run_length=[2, 1]) == [0, 0, 1, 0, 0, 1, 0, 0]
+
+
+def test_map_type1_dispersed():
+    # map[i] = ((i % W) + (((i / W) * num) / 2)) % num ; W=4, num=2
+    assert _map(4, 2, num_slice_groups=2, slice_group_map_type=1) == \
+        [0, 1, 0, 1, 1, 0, 1, 0]
+
+
+def test_map_type2_fg_bg():
+    # rect top_left=5 (y=1,x=1), bottom_right=10 (y=2,x=2) in a 4x3 grid
+    assert _map(4, 3, num_slice_groups=2, slice_group_map_type=2,
+                top_left=[5], bottom_right=[10]) == \
+        [1, 1, 1, 1, 1, 0, 0, 1, 1, 0, 0, 1]
+
+
+def test_map_type4_raster():
+    # mu0 = min(cycle * rate, n) = 3; direction 0: first 3 units group 0
+    assert _map(4, 2, cycle=1, num_slice_groups=2, slice_group_map_type=4,
+                slice_group_change_direction_flag=0,
+                slice_group_change_rate=3) == [0, 0, 0, 1, 1, 1, 1, 1]
+    # direction 1: upper-left group size n - mu0 = 5, group ids swapped
+    assert _map(4, 2, cycle=1, num_slice_groups=2, slice_group_map_type=4,
+                slice_group_change_direction_flag=1,
+                slice_group_change_rate=3) == [1, 1, 1, 1, 1, 0, 0, 0]
+
+
+def test_map_type5_wipe():
+    # column-major fill, direction 0, mu0 = 3 -> first 3 column-major
+    # units (column 0 rows 0..1, column 1 row 0) are group 0
+    assert _map(4, 2, cycle=1, num_slice_groups=2, slice_group_map_type=5,
+                slice_group_change_direction_flag=0,
+                slice_group_change_rate=3) == [0, 0, 1, 1, 0, 1, 1, 1]
+
+
+def test_map_type6_explicit():
+    assert _map(4, 2, num_slice_groups=3, slice_group_map_type=6,
+                slice_group_id=[2, 1, 0, 1, 2, 0, 0, 1]) == \
+        [2, 1, 0, 1, 2, 0, 0, 1]
+
+
+def test_map_type3_boxout_properties():
+    # box-out is a spiral: group 0 is exactly mu0 units and CONTIGUOUS
+    # growth around the center (spec 8.2.2.4); pin size + center seed
+    m = np.asarray(_map(5, 5, cycle=2, num_slice_groups=2,
+                        slice_group_map_type=3,
+                        slice_group_change_direction_flag=0,
+                        slice_group_change_rate=3))
+    assert (m == 0).sum() == 6           # mu0 = min(2*3, 25)
+    assert m[2 * 5 + 2] == 0             # center (x,y)=(2,2) seeds group 0
