@@ -99,6 +99,7 @@ class BatchDecoder:
         self._store = sharded_store_fn(self.mesh, B)
         self._dummy = empty_frame_abi(mb_w, mb_h)
         self._use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
+        self._spec_sticky = None
         if self._use_wire:
             from ..ops.wire import pack_wire
             self._dummy_wire = pack_wire(self._dummy, mb_w, mb_h)
@@ -205,8 +206,14 @@ class BatchDecoder:
                 from ..ops.wire import (
                     conform_sections, flatten_wire, merge_specs, unpack_fn,
                 )
+                # sticky across rounds (see DevicePipeline.upload_abi):
+                # spec growth is monotone so the sharded decode fn's
+                # input structure settles after a few rounds instead of
+                # recompiling whenever a coeff class (dis)appears
                 target = merge_specs(
-                    [wires[i][1] for i in live] + [self._dummy_wire[1]])
+                    [wires[i][1] for i in live] + [self._dummy_wire[1]]
+                    + ([self._spec_sticky] if self._spec_sticky else []))
+                self._spec_sticky = target
                 n = mb_w * mb_h
                 bufs = [
                     flatten_wire(
