@@ -203,11 +203,66 @@ def bench_device_intra():
     return batch / t
 
 
+def bench_device_patch():
+    """Adversarial MC: 5% of cells get random +-128-px MVs (outside the
+    Pallas envelope).  The hybrid path runs the kernel with those cells
+    masked and repairs exactly them with the XLA gather pass — measures
+    the round-2 "gather cliff" replacement at 1080p batch=8."""
+    from arrow_h264_tpu.models.pipeline import (
+        ABI_DEVICE_KEYS, decode_frames_batch_fn, dpb_alloc,
+        select_inter_mode, store_ref_fn,
+    )
+    from arrow_h264_tpu.ops.synthetic import synthetic_abi_p
+    from arrow_h264_tpu.ops.transforms import make_ws_consts
+    from tools.devtime import devtime
+    mb_w, mb_h = 120, 68
+    batch = 8
+    n_slots = 2
+    ws4, ws8 = make_ws_consts([[16] * 16] * 6, [[16] * 64] * 2)
+    hosts, slots_rows, mode = [], [], None
+    for i in range(batch):
+        abi = synthetic_abi_p(mb_w, mb_h, seed=50 + i, n_slots=n_slots)
+        rng = np.random.default_rng(77 + i)
+        n = mb_w * mb_h
+        wild = rng.random((n, 4, 4)) < 0.05
+        wmv = rng.integers(-512, 512, (n, 4, 4, 2, 2)).astype(np.int32)
+        abi["mv"] = np.where(wild[..., None, None], wmv, abi["mv"])
+        mode, sl, patch = select_inter_mode(abi, mb_w, mb_h)
+        abi["patch"] = patch
+        hosts.append(abi)
+        slots_rows.append(sl)
+    assert mode.endswith("p"), mode     # the hybrid path must engage
+    fn = functools.partial(
+        decode_frames_batch_fn, mb_w=mb_w, mb_h=mb_h,
+        ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8), cqp_off=(0, 0),
+        n_streams=batch, inter_mode=mode)
+    abi_b = {k: jnp.asarray(np.stack([h[k] for h in hosts]))
+             for k in ABI_DEVICE_KEYS}
+    rng = np.random.default_rng(1)
+    store = jax.jit(store_ref_fn, donate_argnums=(0, 1))
+    dpbs = []
+    for i in range(batch):
+        dpb = dpb_alloc(mb_w, mb_h, n_slots)
+        for s in range(n_slots):
+            dpb = store(
+                *dpb, s,
+                jnp.asarray(rng.integers(0, 256, (H, W), np.uint8)),
+                jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8)),
+                jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8)))
+        dpbs.append(dpb)
+    dpb_y = jnp.stack([d[0] for d in dpbs])
+    dpb_c = jnp.stack([d[1] for d in dpbs])
+    slots = jnp.asarray(np.stack(slots_rows))
+    t = devtime(fn, abi_b, dpb_y, dpb_c, slots, n1=2, n2=6)
+    return batch / t
+
+
 def main() -> None:
     datas = make_streams()
     kbit = sum(len(d) for d in datas) * 8 / (N_SRC * N_FRAMES) / 1000
     dev_fps = bench_device_only()
     intra_fps = bench_device_intra()
+    patch_fps = bench_device_patch()
     host_fps = bench_host(datas)
     e2e_fps, warm_s, timed_s = bench_e2e(datas)
     dr_fps, _chk = bench_e2e_device_resident(datas)
@@ -222,6 +277,7 @@ def main() -> None:
         "e2e_device_resident_fps": round(dr_fps, 2),
         "device_recon_fps": round(dev_fps, 2),
         "device_intra_fps": round(intra_fps, 2),
+        "device_patch_fps": round(patch_fps, 2),
         "host_parse_fps": round(host_fps, 2),
         "host_cores": os.cpu_count(),
         "d2h_link_GBps": round(bw, 3),
