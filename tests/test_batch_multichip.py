@@ -96,3 +96,21 @@ def test_lockstep_sharded_step():
         dev = {k: jnp.asarray(abis[i][k]) for k in ABI_DEVICE_KEYS}
         ys, cbs, crs = single(dev, *dpbs[i], jnp.asarray(slots[i]))
         assert np.array_equal(np.asarray(y[i]), np.asarray(ys)), f"stream {i}"
+
+
+def test_batch_decoder_device_resident(h264ref, tmp_path):
+    """materialize=False keeps outputs as HBM-resident PendingFrames
+    (the TPU-native consumer path; bench.py's device-resident line);
+    finalize() must still reproduce the golden bytes."""
+    from arrow_h264_tpu.api import PendingFrame
+    from arrow_h264_tpu.parallel.batch import BatchDecoder
+    n = len(jax.devices())
+    datas, goldens = _make_streams(tmp_path, n)
+    bd = BatchDecoder(n, materialize=False)
+    outs = bd.decode(datas)
+    assert all(e is None for e in bd.errors), bd.errors
+    for i, (frames, golden) in enumerate(zip(outs, goldens)):
+        assert all(isinstance(f, PendingFrame) for f in frames), i
+        mats = [f.finalize() for f in frames]
+        ours = np.stack([np.frombuffer(f.planar(), np.uint8) for f in mats])
+        assert np.array_equal(ours, golden), f"stream {i} mismatch"
