@@ -29,22 +29,36 @@ def _cmd_decode(args: argparse.Namespace) -> int:
     t0 = time.perf_counter()
     ref = open(args.ref, "rb") if args.ref else None
     mismatches = 0
+    sse = [0.0, 0.0, 0.0]       # per-plane, for --psnr (JM-style SNR line)
+    npx = [0, 0, 0]
     with open(args.output, "wb") as out:
         for frame in dec.decode_annexb(data):
             buf = frame.planar()
             out.write(buf)
             if ref is not None:
                 want = ref.read(len(buf))
-                if want != buf:
-                    if len(want) != len(buf):
-                        print(f"frame {n}: reference truncated "
-                              f"({len(want)} of {len(buf)} bytes)",
-                              file=sys.stderr)
-                    else:
+                if len(want) != len(buf):
+                    print(f"frame {n}: reference truncated "
+                          f"({len(want)} of {len(buf)} bytes)",
+                          file=sys.stderr)
+                    mismatches += 1
+                else:
+                    if want != buf:
                         diffs = sum(a != b for a, b in zip(buf, want))
                         print(f"frame {n}: {diffs} byte diffs vs {args.ref}",
                               file=sys.stderr)
-                    mismatches += 1
+                        mismatches += 1
+                    if args.psnr:
+                        import numpy as np
+                        a = np.frombuffer(buf, np.uint8).astype(np.int64)
+                        b = np.frombuffer(want, np.uint8).astype(np.int64)
+                        ny = frame.width * frame.height
+                        nc = ny // 4
+                        for pl, (o, ln) in enumerate(
+                                ((0, ny), (ny, nc), (ny + nc, nc))):
+                            d = a[o:o + ln] - b[o:o + ln]
+                            sse[pl] += float((d * d).sum())
+                            npx[pl] += ln
             n += 1
             w, h = frame.width, frame.height
     dt = time.perf_counter() - t0
@@ -53,6 +67,17 @@ def _cmd_decode(args: argparse.Namespace) -> int:
     if ref is not None:
         extra = ref.read(1)
         ref.close()
+        if args.psnr:
+            import math
+            vals = []
+            for pl, name in enumerate("YUV"):
+                if npx[pl] == 0:
+                    vals.append("n/a")
+                elif sse[pl] == 0:
+                    vals.append("inf")
+                else:
+                    vals.append(f"{10 * math.log10(255 * 255 * npx[pl] / sse[pl]):.2f}")
+            print(f"SNR Y {vals[0]} dB  U {vals[1]} dB  V {vals[2]} dB")
         if extra:
             print("reference YUV has more frames than the stream",
                   file=sys.stderr)
@@ -88,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("input")
     d.add_argument("output")
     d.add_argument("--ref", help="reference YUV to compare bit-exactly")
+    d.add_argument("--psnr", action="store_true",
+                   help="with --ref: print per-plane SNR (JM-style)")
     d.add_argument("--entropy", choices=("cpp", "python"), default="cpp")
     d.add_argument("--trace", help="write per-slice/per-MB JSONL decode trace")
     d.add_argument("--trace-se", dest="trace_se",
