@@ -257,7 +257,33 @@ def bench_device_patch():
     return batch / t
 
 
+def probe_tpu(timeout_s: int = 180) -> bool:
+    """The axon tunnel can be down for hours (observed 2026-08-18); a
+    bare `jax.devices()` then blocks indefinitely inside backend init.
+    Probe in a subprocess with a hard timeout so the bench fails FAST
+    and explains itself instead of hanging the driver."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not probe_tpu():
+        print(json.dumps({
+            "metric": "1080p decoded frames/sec/chip, end-to-end batched",
+            "value": 0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0,
+            "error": "TPU backend unavailable (axon tunnel down / "
+                     "jax.devices() hung >180s); bench aborted fast "
+                     "instead of hanging",
+        }))
+        sys.exit(2)
     datas = make_streams()
     kbit = sum(len(d) for d in datas) * 8 / (N_SRC * N_FRAMES) / 1000
     dev_fps = bench_device_only()
