@@ -276,11 +276,17 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS,
             h.slice_alpha_c0_offset_div2 = r.se()
             h.slice_beta_offset_div2 = r.se()
     if pps.num_slice_groups > 1 and pps.slice_group_map_type in (3, 4, 5):
-        n_units = sps.pic_width_in_mbs * sps.pic_height_in_map_units
-        v = max(1, (n_units // pps.slice_group_change_rate + 1
-                    - 1).bit_length())
-        h.slice_group_change_cycle = r.u(v)
+        h.slice_group_change_cycle = r.u(change_cycle_bits(sps, pps))
     return h
+
+
+def change_cycle_bits(sps: SPS, pps: PPS) -> int:
+    """Bit width of slice_group_change_cycle (spec 7.4.3):
+    Ceil(Log2(Ceil(PicSizeInMapUnits / SliceGroupChangeRate) + 1)) —
+    the inner division is a CEILING, not floor (JM read_new_slice adds
+    one when the remainder is non-zero before CeilLog2)."""
+    n_units = sps.pic_width_in_mbs * sps.pic_height_in_map_units
+    return max(1, (-(-n_units // pps.slice_group_change_rate)).bit_length())
 
 
 def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None:
@@ -324,7 +330,4 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
             w.se(h.slice_alpha_c0_offset_div2)
             w.se(h.slice_beta_offset_div2)
     if pps.num_slice_groups > 1 and pps.slice_group_map_type in (3, 4, 5):
-        n_units = sps.pic_width_in_mbs * sps.pic_height_in_map_units
-        v = max(1, (n_units // pps.slice_group_change_rate + 1
-                    - 1).bit_length())
-        w.u(h.slice_group_change_cycle, v)
+        w.u(h.slice_group_change_cycle, change_cycle_bits(sps, pps))

@@ -52,7 +52,14 @@ def conceal_abi(abi, covered: np.ndarray, ref_slot: int,
     grow = ~covered
     grow[:, 1:] |= ~covered[:, :-1]
     grow[1:, :] |= ~covered[:-1, :]
-    abi["disable_idc"][np.nonzero(grow.reshape(-1))[0]] = 1
+    gidx = np.nonzero(grow.reshape(-1))[0]
+    # dense ABI path reads disable_idc per-MB; the wire path renormalizes
+    # disable_idc to per-slice rows, so the override ALSO goes into the
+    # per-MB deblock_off flag, which the wire ships verbatim (a parsed
+    # right/below neighbor owns the shared edge and must not be filtered,
+    # or concealed pixels bleed ~3px into the parsed region)
+    abi["disable_idc"][gidx] = 1
+    abi["deblock_off"][gidx] = 1
     if ref_slot >= 0:
         abi["kind"][idx] = KIND_P
         abi["mv"][idx] = 0

@@ -400,7 +400,8 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
     resolved to per-cell weights on device (models.pipeline.resolve_weights).
     """
     from ..ops.abi import (
-        MAX_SLICES, fill_weight_tables, identity_wtab, patch_capacity,
+        MAX_SLICES, fill_weight_tables, identity_wtab,
+        note_nonexisting_refs, patch_capacity,
     )
     a = pic.a
     abi = FrameABI(
@@ -412,13 +413,16 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
         i8_avail=a["i8_avail"], mb_avail=a["mb_avail"], pcm=a["pcm"],
         nz=a["nz"], tr8=a["tr8"], slice_id=a["slice_id"],
         disable_idc=a["disable_idc"], alpha_off=a["alpha_off"],
-        beta_off=a["beta_off"], mv=a["mv"],
+        beta_off=a["beta_off"],
+        deblock_off=np.zeros(pic.mb_w * pic.mb_h, np.int32),
+        mv=a["mv"],
         refid=a["refid"], refslot=a["refslot"], refidx=a["refidx"],
         wtab=identity_wtab(),
         slogwd=np.zeros((MAX_SLICES, 2), np.int32),
         patch=np.full(patch_capacity(pic.mb_w, pic.mb_h), -1, np.int32),
         mb_w=pic.mb_w, mb_h=pic.mb_h,
     )
+    note_nonexisting_refs(abi, pic.slice_reflists)
     fill_weight_tables(abi, pic.pps, pic.headers, pic.slice_reflists,
                        cur_poc)
     return abi

@@ -24,6 +24,11 @@ Layout (per frame; the stream batch dimension B is added by stacking):
   nz          [nMB,4,4]  int32  deblock coded-flag per 4x4 (8x8-ORed for tr8)
   tr8         [nMB] int32
   slice_id / disable_idc / alpha_off / beta_off  [nMB] int32
+  deblock_off [nMB] int32  per-MB deblock-disable OVERRIDE (concealment:
+                           filtered edges must not bleed repaired pixels
+                           into parsed MBs).  ORed into disable_idc on
+                           device; per-MB, unlike the per-slice idc, so
+                           the wire's per-slice renormalization keeps it.
   mv          [nMB,4,4,2,2] int32   (y4,x4,list,(x,y))  inter only
   refid       [nMB,4,4,2]   int32   unique DPB picture id, -1 unused (deblock)
   refslot     [nMB,4,4,2]   int32   device DPB slot, -1 unused (MC gather)
@@ -54,8 +59,12 @@ from ..mb.types import (
 
 KIND_I4x4, KIND_I8x8, KIND_I16, KIND_IPCM, KIND_P, KIND_B = range(6)
 
-MAX_SLICES = 16   # slices per picture the weight tables cover (reject above)
-CONCEAL_SLICE = MAX_SLICES - 1  # identity weight row used by concealment
+MAX_SLICES = 16   # device-side slice PARAMETER rows (slices sharing
+                  # identical parameters share a row; see fill_weight_tables)
+CONCEAL_SLICE = MAX_SLICES - 1  # reserved identity row used by concealment
+                  # (never assigned to a real slice — a 16th real slice
+                  # would otherwise have its weights/deblock params
+                  # clobbered by a concealment pass)
 
 
 def patch_capacity(mb_w: int, mb_h: int) -> int:
@@ -125,6 +134,7 @@ def empty_frame_abi(mb_w: int, mb_h: int) -> FrameABI:
         tr8=np.zeros(n, np.int32),
         slice_id=np.zeros(n, np.int32),
         disable_idc=np.zeros(n, np.int32),
+        deblock_off=np.zeros(n, np.int32),
         alpha_off=np.zeros(n, np.int32),
         beta_off=np.zeros(n, np.int32),
         mv=np.zeros((n, 4, 4, 2, 2), np.int32),
@@ -262,24 +272,111 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
                 rc = np.clip(r_, 0, len(lref) - 1)
                 abi["refid"][addr, :, :, lst] = np.where(valid, uids[rc], -1)
                 abi["refslot"][addr, :, :, lst] = np.where(valid, slots[rc], -1)
+    note_nonexisting_refs(abi, pic.slice_reflists)
     fill_weight_tables(abi, pic.pps, pic.headers, pic.slice_reflists, cur_poc)
     return abi
 
 
+def note_nonexisting_refs(abi: FrameABI, slice_reflists) -> None:
+    """Record the uids of non-existing (frame_num-gap, spec 8.2.5.2)
+    pictures referenced by this frame's lists under abi["nx_uids"].
+
+    api.py binds gap placeholders to device slot 0 (MC gather bounds),
+    where a real picture may also live; the wire format substitutes
+    refid := refslot, which would make the two compare equal in the
+    deblock bS same-ref test.  The wire pack flags such cells
+    (refslot | NX_FLAG) so the unpacked refid stays distinct."""
+    nx = sorted({p.uid for (l0, l1) in slice_reflists for p in (*l0, *l1)
+                 if getattr(p, "non_existing", False)})
+    if nx:
+        abi["nx_uids"] = np.asarray(nx, np.int32)
+
+
+def _slice_row_key(pps, hdr, l0, l1):
+    """Hashable device-parameter key of a slice: two slices with equal
+    keys are indistinguishable to every device consumer of the slice row
+    (weight tables, slogwd, per-slice deblock params) EXCEPT the
+    disable_idc==2 slice-boundary test, which the caller handles by
+    forcing such slices unique while rows remain."""
+    weighted_p = bool(pps.weighted_pred_flag) and hdr.is_p
+    weighted_b = pps.weighted_bipred_idc == 1 and hdr.is_b
+    implicit_b = pps.weighted_bipred_idc == 2 and hdr.is_b
+    key = [hdr.disable_deblocking_filter_idc,
+           hdr.slice_alpha_c0_offset_div2, hdr.slice_beta_offset_div2]
+    if weighted_p or weighted_b:
+        key += ["w", hdr.luma_log2_weight_denom, hdr.chroma_log2_weight_denom]
+        for lst, pws in ((0, hdr.pred_weights_l0), (1, hdr.pred_weights_l1)):
+            if not pws or (lst == 1 and not weighted_b):
+                key.append(None)
+                continue
+            key.append(tuple(
+                (pw.luma_weight, pw.luma_offset,
+                 tuple(pw.chroma_weight), tuple(pw.chroma_offset))
+                for pw in pws))
+    elif implicit_b:
+        # implicit weights depend only on the (cur, l0[i], l1[j]) POC /
+        # long-term geometry
+        key += ["i", tuple((p.poc, p.long_term) for p in l0),
+                tuple((p.poc, p.long_term) for p in l1)]
+    else:
+        key.append("n")
+    return tuple(key)
+
+
+def assign_slice_rows(pps, headers, slice_reflists) -> list[int]:
+    """Map each slice to a device parameter row in [0, MAX_SLICES-2]
+    (CONCEAL_SLICE is reserved).  <= MAX_SLICES-1 slices map 1:1; above
+    that, slices sharing identical device-visible parameters share a row
+    (slice-per-MB-row encoders emit dozens of identical slices — the old
+    hard reject failed legal streams, ADVICE r3).  disable_idc==2 slices
+    are kept unique while rows remain so the same-slice boundary test
+    stays exact; if even the deduped key set overflows, idc==2 slices
+    merge too (their shared boundaries then get filtered: a bounded,
+    deblock-only deviation instead of a decode failure)."""
+    usable = MAX_SLICES - 1
+    if len(headers) <= usable:
+        return list(range(len(headers)))
+    for force_unique_idc2 in (True, False):
+        rows: dict = {}
+        assign = []
+        for s, hdr in enumerate(headers):
+            l0, l1 = slice_reflists[s]
+            key = _slice_row_key(pps, hdr, l0, l1)
+            if force_unique_idc2 and hdr.disable_deblocking_filter_idc == 2:
+                key = key + ("u", s)
+            if key not in rows:
+                rows[key] = len(rows)
+            assign.append(rows[key])
+        if len(rows) <= usable:
+            return assign
+    raise NotImplementedError(
+        f"> {usable} distinct per-slice parameter sets in one picture "
+        f"({len(rows)} after dedup; weight-table rows exhausted)")
+
+
 def fill_weight_tables(abi: FrameABI, pps, headers, slice_reflists,
                        cur_poc: int) -> None:
-    """Per-slice weight tables (spec 8.4.2.3 / 8.4.2.3.1).
+    """Per-slice-row weight tables (spec 8.4.2.3 / 8.4.2.3.1).
 
-    abi["wtab"][s, r0+1, r1+1, plane] = (w0, o0, w1, o1) for slice s; index
-    0 on either ref axis means that list is unused for the cell and holds
-    identity, so the device gather needs no validity masking.
-    """
-    if len(headers) > MAX_SLICES:
-        raise NotImplementedError(
-            f"> {MAX_SLICES} slices per picture (weight tables)")
+    abi["wtab"][s, r0+1, r1+1, plane] = (w0, o0, w1, o1) for slice row s;
+    index 0 on either ref axis means that list is unused for the cell and
+    holds identity, so the device gather needs no validity masking.
+    Pictures with more than MAX_SLICES-1 slices are remapped onto shared
+    parameter rows (assign_slice_rows), including abi["slice_id"]."""
+    row_of = assign_slice_rows(pps, headers, slice_reflists)
+    if row_of != list(range(len(headers))):
+        # remap per-MB ids onto the shared rows (copy: abi["slice_id"]
+        # may be a zero-copy view of pooled parser arrays)
+        lut = np.asarray(row_of, np.int32)
+        abi["slice_id"] = lut[np.asarray(abi["slice_id"])]
     wtab, slogwd = abi["wtab"], abi["slogwd"]
-    for s, hdr in enumerate(headers):
-        l0, l1 = slice_reflists[s]
+    done = set()
+    for s0, hdr in enumerate(headers):
+        s = row_of[s0]
+        if s in done:
+            continue
+        done.add(s)
+        l0, l1 = slice_reflists[s0]
         weighted_p = bool(pps.weighted_pred_flag) and hdr.is_p
         weighted_b = pps.weighted_bipred_idc == 1 and hdr.is_b
         implicit_b = pps.weighted_bipred_idc == 2 and hdr.is_b

@@ -67,6 +67,10 @@ _COEFF_SHAPES = {"l4": (16, 4, 4), "l8": (4, 8, 8), "ca": (2, 2, 2, 4, 4),
 
 _MIN_BUCKET = 32
 _WTAB_COLS = 33 * 33 * 3 * 4
+NX_FLAG = 64      # shipped-refslot flag: ref is a non-existing (gap)
+                  # picture — refid must not collide with the real
+                  # picture at the same device slot (fits int8; device
+                  # DPB slots are < 64)
 
 
 def _bucket(k: int, cap: int, lo: int = _MIN_BUCKET) -> int:
@@ -170,7 +174,11 @@ def _pack_meta(abi, n: int, sec: dict):
     m = np.empty((n, 6), np.uint8)
     m[:, 0] = abi["kind"]
     m[:, 1] = abi["qp"]
-    m[:, 2] = abi["slice_id"]
+    # slice_id < MAX_SLICES = 16 occupies bits 0..3; bit 4 carries the
+    # per-MB deblock-disable override (concealment edges), which the
+    # per-slice renormalization of disable_idc below would otherwise drop
+    dbo = np.asarray(abi.get("deblock_off", 0), np.uint8)
+    m[:, 2] = np.asarray(abi["slice_id"], np.uint8) | (dbo << 4)
     mba = np.asarray(abi["mb_avail"], np.uint8)
     m[:, 3] = (np.asarray(abi["tr8"], np.uint8)
                | (mba[:, 0] << 1) | (mba[:, 1] << 2) | (mba[:, 2] << 3)
@@ -183,7 +191,12 @@ def _pack_meta(abi, n: int, sec: dict):
 
     tab = np.zeros((MAX_SLICES, 6), np.int8)
     sid = np.asarray(abi["slice_id"])
-    tab[sid, 0] = np.asarray(abi["disable_idc"], np.int8)
+    # MBs carrying the per-MB override (concealment wrote disable_idc=1
+    # for the dense path) must not pollute their slice's row: scatter
+    # only from clean MBs (all MBs of a slice share the header values,
+    # so any clean member fills the row correctly)
+    clean = np.broadcast_to(np.asarray(dbo == 0), sid.shape)
+    tab[sid[clean], 0] = np.asarray(abi["disable_idc"], np.int8)[clean]
     tab[sid, 1] = np.asarray(abi["alpha_off"], np.int8)
     tab[sid, 2] = np.asarray(abi["beta_off"], np.int8)
     tab[:, 3:5] = np.asarray(abi["slogwd"], np.int8)
@@ -224,6 +237,14 @@ def _pack_inter(abi, n: int, sec: dict, scan_inter):
     mv = np.ascontiguousarray(abi["mv"], np.int32)
     ridx = np.ascontiguousarray(abi["refidx"], np.int32)
     rslot = np.ascontiguousarray(abi["refslot"], np.int32)
+    nx = abi.get("nx_uids")
+    if nx is not None and len(nx):
+        # cells referencing non-existing (frame_num-gap) pictures: flag
+        # the shipped slot so unpack's refid:=refslot substitution keeps
+        # them distinct from the real picture sharing device slot 0
+        # (abi.note_nonexisting_refs); unpack strips the flag for MC
+        rslot = np.where(np.isin(np.asarray(abi["refid"]), nx),
+                         rslot | NX_FLAG, rslot)
     cap = n // 2 + 1
     if scan_inter is not None:
         k, mv_base, ref_base, idx_buf, mv_nu, ref_nu = \
@@ -603,14 +624,15 @@ def unpack_wire_frame(buf, *, mb_w: int, mb_h: int, spec):
     m = _read(buf, table, "meta6").astype(jnp.int32)
     fl = m[:, 3]
     tab = _read(buf, table, "slice8").astype(jnp.int32)
-    sid = m[:, 2]
+    sid = m[:, 2] & 15
+    dbo = (m[:, 2] >> 4) & 1           # per-MB deblock-disable override
     nzm = m[:, 4] | (m[:, 5] << 8)
     out = {
         "kind": m[:, 0], "qp": m[:, 1], "slice_id": sid,
         "tr8": fl & 1,
         "mb_avail": jnp.stack([(fl >> b) & 1 for b in (1, 2, 3)], 1),
         "i16_mode": (fl >> 4) & 3, "chroma_mode": (fl >> 6) & 3,
-        "disable_idc": tab[sid, 0],
+        "disable_idc": jnp.where(dbo == 1, 1, tab[sid, 0]),
         "alpha_off": tab[sid, 1], "beta_off": tab[sid, 2],
         "slogwd": tab[:, 3:5],
         "nz": jnp.stack([(nzm >> b) & 1 for b in range(16)], 1)
@@ -665,8 +687,13 @@ def unpack_wire_frame(buf, *, mb_w: int, mb_h: int, spec):
         out["refslot"] = rslot.reshape(n, 4, 4, 2)
     # refid is never shipped: within one frame the DPB slot identifies
     # the picture, and deblock's bS test only needs equality/validity —
-    # both preserved by the injective uid -> slot substitution.
-    out["refid"] = out["refslot"]
+    # both preserved by the injective uid -> slot substitution.  Cells
+    # referencing non-existing (gap) pictures arrive with NX_FLAG set
+    # (see _pack_inter): keep the flag in refid (distinct bS identity)
+    # and strip it for the MC gather slot.
+    rs = out["refslot"]
+    out["refid"] = rs
+    out["refslot"] = jnp.where(rs >= 0, rs & (NX_FLAG - 1), rs)
 
     keymap = dict((f, k) for f, k, _, _ in _COEFF_FIELDS)
     for f, key, cpm, w in _COEFF_FIELDS:

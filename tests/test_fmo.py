@@ -54,6 +54,39 @@ def test_aso_slice_order_bit_exact():
         assert np.array_equal(ours, golden[j]), j
 
 
+def test_change_cycle_bits_ceiling_division():
+    """spec 7.4.3: slice_group_change_cycle is read with
+    Ceil(Log2(Ceil(PicSizeInMapUnits / SliceGroupChangeRate) + 1)) bits
+    — the inner division is a CEILING.  Floor division under-reads for
+    ~1/3 of geometries (e.g. 20 units, rate 6: 2 bits vs 3)."""
+    import math
+    from arrow_h264_tpu.bitstream.slicehdr import change_cycle_bits
+    for n_units in (1, 2, 6, 20, 99, 396, 8160):
+        for rate in (1, 2, 3, 6, 7, 11, 40):
+            sps = SPS(pic_width_in_mbs=n_units, pic_height_in_map_units=1)
+            pps = PPS(num_slice_groups=2, slice_group_map_type=3,
+                      slice_group_change_rate=rate)
+            want = max(1, math.ceil(math.log2(math.ceil(n_units / rate) + 1)))
+            assert change_cycle_bits(sps, pps) == want, (n_units, rate)
+
+
+def test_fmo_nondivisible_change_rate_bit_exact():
+    """End-to-end FMO at a geometry where Ceil != Floor in the
+    slice_group_change_cycle width (20 map units, rate 6 -> 3 bits;
+    the old floor formula read 2 and corrupted all slice data)."""
+    pps_kwargs = dict(num_slice_groups=2, slice_group_map_type=5,
+                      slice_group_change_direction_flag=0,
+                      slice_group_change_rate=6)
+    data = make_fmo_stream(pps_kwargs, n_frames=2, mb_w=5, mb_h=4,
+                           change_cycle=4)      # needs the 3rd bit
+    golden = pcm_golden(pps_kwargs, n_frames=2, mb_w=5, mb_h=4,
+                        change_cycle=4)
+    got = _ours(data)
+    assert len(got) == len(golden)
+    for j, ours in enumerate(got):
+        assert np.array_equal(ours, golden[j]), j
+
+
 # ---- map-formula pins (hand-computed from spec 8.2.2.1-8.2.2.7) ----------
 
 def _map(mb_w, mb_h, cycle=0, **pps_kwargs):

@@ -137,6 +137,51 @@ def test_merge_and_conform_batch():
     _check(a1, {k: v[1] for k, v in dense.items()})
 
 
+def test_conceal_deblock_override_survives_wire():
+    """Per-MB deblock-disable written by concealment must survive the
+    wire's per-slice disable_idc renormalization: flagged MBs read back
+    disable_idc==1 while the rest of their slice keeps the true header
+    value (the last-writer-wins scatter used to let a flagged raster-last
+    MB disable deblocking for its whole slice, or drop the flag)."""
+    n = MB_W * MB_H
+    abi = synthetic_abi_p(MB_W, MB_H, seed=2, n_slots=2)
+    abi["deblock_off"] = np.zeros(n, np.int32)
+    abi["slice_id"][:] = 0
+    abi["disable_idc"][:] = 0
+    # concealment wrote the override on the slice's raster-LAST MBs —
+    # exactly the MBs whose scatter would have polluted the slice row
+    abi["disable_idc"][-3:] = 1
+    abi["deblock_off"][-3:] = 1
+    _, _, dense = _roundtrip(abi)
+    got = np.asarray(dense["disable_idc"])
+    assert (got[-3:] == 1).all()
+    assert (got[:-3] == 0).all()
+    assert np.array_equal(np.asarray(dense["slice_id"]), abi["slice_id"])
+
+
+def test_nonexisting_ref_refid_stays_distinct():
+    """A cell referencing a non-existing (frame_num-gap) picture bound
+    to device slot 0 must not unpack with the same refid as a cell
+    referencing the REAL picture at slot 0 (deblock bS same-ref test),
+    while both gather from slot 0 for MC."""
+    abi = synthetic_abi_p(MB_W, MB_H, seed=4, n_slots=2)
+    for k in ("refid", "refslot", "refidx"):
+        abi[k][:2] = -1
+    abi["refid"][0, :, :, 0] = 5      # real picture, slot 0
+    abi["refid"][1, :, :, 0] = 7      # non-existing gap picture, slot 0
+    abi["refslot"][0, :, :, 0] = 0
+    abi["refslot"][1, :, :, 0] = 0
+    abi["refidx"][0, :, :, 0] = 0
+    abi["refidx"][1, :, :, 0] = 0
+    abi["nx_uids"] = np.asarray([7], np.int32)
+    _, _, dense = _roundtrip(abi)
+    rid = np.asarray(dense["refid"])
+    rsl = np.asarray(dense["refslot"])
+    assert rid[0, 0, 0, 0] != rid[1, 0, 0, 0]
+    assert rsl[0, 0, 0, 0] == 0 and rsl[1, 0, 0, 0] == 0
+    assert (np.asarray(dense["refidx"])[:2] == np.asarray(abi["refidx"])[:2]).all()
+
+
 def test_decode_matches_dense_upload(monkeypatch):
     """End-to-end: decoding a real stream with the wire path produces
     byte-identical frames to the direct dense upload."""
