@@ -15,6 +15,7 @@ from __future__ import annotations
 import ctypes as C
 import os
 import subprocess
+import time
 from pathlib import Path
 
 import numpy as np
@@ -124,6 +125,11 @@ def load_lib(sanitize: bool | None = None):
     lib.h264e_scan_inter.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_long, C.c_void_p,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_long]
+    lib.h264e_select_inter_mode.restype = C.c_int
+    lib.h264e_select_inter_mode.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_long, C.c_int, C.c_int,
+        C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_long,
+        C.c_void_p, C.c_void_p, C.POINTER(C.c_long)]
     assert lib.h264e_abi_version() == ABI_VERSION
     _libs[sanitize] = lib
     return lib
@@ -140,8 +146,10 @@ def scan_rows32(src2d: np.ndarray, cap: int):
     idx = np.empty(cap, np.int32)
     vals = np.empty((cap, cols), np.int16)
     ovf = C.c_int(0)
+    t0 = time.perf_counter() if gil_meter.enabled else 0.0
     k = lib.h264e_scan_rows32(_ptr(src2d), rows, cols, _ptr(idx),
                               _ptr(vals), cap, C.byref(ovf))
+    gil_meter.add(time.perf_counter() - t0)
     return int(k), idx, vals, bool(ovf.value)
 
 
@@ -161,9 +169,11 @@ def scan_blocks8(src2d: np.ndarray, cap_r: int, cap_v: int):
     vals = np.empty(cap_v, np.int8)
     nnz = C.c_long(0)
     ovf = C.c_int(0)
+    t0 = time.perf_counter() if gil_meter.enabled else 0.0
     k = lib.h264e_scan_blocks8(_ptr(src2d), rows, cols, _ptr(idx), _ptr(bm),
                                _ptr(vals), cap_r, cap_v, C.byref(nnz),
                                C.byref(ovf))
+    gil_meter.add(time.perf_counter() - t0)
     return int(k), idx, bm, vals, int(nnz.value), bool(ovf.value)
 
 
@@ -181,14 +191,73 @@ def scan_inter(mv: np.ndarray, refidx: np.ndarray, refslot: np.ndarray,
     idx = np.empty(cap, np.int32)
     mv_nu = np.empty((cap, 64), np.int16)
     ref_nu = np.empty((cap, 64), np.int8)
+    t0 = time.perf_counter() if gil_meter.enabled else 0.0
     k = lib.h264e_scan_inter(_ptr(mv), _ptr(refidx), _ptr(refslot), n,
                              _ptr(mv_base), _ptr(ref_base), _ptr(idx),
                              _ptr(mv_nu), _ptr(ref_nu), cap)
+    gil_meter.add(time.perf_counter() - t0)
     return int(k), mv_base, ref_base, idx, mv_nu, ref_nu
 
 
 def _ptr(a: np.ndarray) -> int:
     return a.ctypes.data
+
+
+class gil_meter:
+    """Accounting for time spent inside GIL-RELEASED ctypes calls.
+
+    ctypes releases the GIL around every foreign call, so the fraction
+    of per-frame host time spent inside the C++ library is the fraction
+    that scales across host threads; everything else (numpy orchestration,
+    DPB bookkeeping) serializes on the GIL.  bench_host.py enables this
+    to report a MEASURED gil_hold_pct instead of asserting "linear in
+    cores" (VERDICT r3 #3c)."""
+    enabled = False
+    released_s = 0.0
+
+    @classmethod
+    def reset(cls) -> None:
+        cls.released_s = 0.0
+
+    @classmethod
+    def add(cls, dt: float) -> None:
+        if cls.enabled:
+            cls.released_s += dt
+
+
+def select_inter_mode_cpp(kind: np.ndarray, mv: np.ndarray,
+                          refslot: np.ndarray, mb_w: int, mb_h: int, *,
+                          max_slots: int, cap: int, dx_min: int, dx_max: int,
+                          dy_min: int, dy_max: int, patch_cap: int):
+    """C-side per-frame MC-variant selection (the hot half of
+    models/pipeline.select_inter_mode: envelope scan, slot pressure,
+    per-band candidate-cap eviction).  Runs on the parse thread with the
+    GIL released; the numpy implementation remains the oracle
+    (differential-tested in test_cpp_entropy).
+
+    Returns (mode_str, slot_list [max_slots] i32, patch [patch_cap] i32).
+    """
+    lib = load_lib()
+    kind = np.ascontiguousarray(kind, np.int32)
+    mv = np.ascontiguousarray(mv, np.int32)
+    refslot = np.ascontiguousarray(refslot, np.int32)
+    slot_list = np.full(max_slots, -1, np.int32)
+    patch = np.full(patch_cap, -1, np.int32)
+    npatch = C.c_long(0)
+    t0 = time.perf_counter() if gil_meter.enabled else 0.0
+    m = lib.h264e_select_inter_mode(
+        _ptr(kind), _ptr(mv), _ptr(refslot), kind.shape[0], mb_w, mb_h,
+        max_slots, cap, dx_min, dx_max, dy_min, dy_max, patch_cap,
+        _ptr(slot_list), _ptr(patch), C.byref(npatch))
+    gil_meter.add(time.perf_counter() - t0)
+    if m == 0:
+        return "none", slot_list, patch
+    if m == 3:
+        return "gather", slot_list, patch
+    mode = "pl0" if m == 1 else "pl01"
+    if npatch.value:
+        mode += "p"
+    return mode, slot_list, patch
 
 
 class PicBufPool:
@@ -359,8 +428,10 @@ class CppPictureParse:
             setattr(sp, f"{lname}_len", len(lref))
         self._keepalive.append(keep)
         data = r.data
+        t0 = time.perf_counter() if gil_meter.enabled else 0.0
         ret = lib.h264e_parse_slice(C.byref(self.pb), C.byref(sp),
                                     data, len(data), r.pos)
+        gil_meter.add(time.perf_counter() - t0)
         if ret != 0:
             raise ValueError(f"C++ slice parse failed: {ret}")
 

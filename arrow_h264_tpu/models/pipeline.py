@@ -306,7 +306,7 @@ def store_ref_fn(dpb_y4p, dpb_cp, slot, y, cb, cr):
 
 
 def select_inter_mode(abi: FrameABI, mb_w: int, mb_h: int):
-    """Pick the per-frame MC variant + slot list + patch cells (host numpy).
+    """Pick the per-frame MC variant + slot list + patch cells.
 
     The Pallas MC kernel requires: MVs inside its slab window, <=
     MAX_SLOTS distinct DPB slots, and <= CAP distinct (slot, mv_int)
@@ -314,7 +314,29 @@ def select_inter_mode(abi: FrameABI, mb_w: int, mb_h: int):
     EVICTED into the `patch` list (repaired on device by the gather
     pass, ops.inter.patch_inter_pred) instead of demoting the whole
     frame; only when the evictions overflow the static patch capacity
-    does the frame fall back to the full gather path."""
+    does the frame fall back to the full gather path.
+
+    Dispatches to the C++ scan (centropy.select_inter_mode_cpp, GIL
+    released on the parse thread) when the host entropy lib is
+    available; select_inter_mode_np is the numpy oracle (the per-band
+    np.unique loop held the GIL ~68 bands/frame at 1080p)."""
+    try:
+        from ..host import centropy
+        centropy.load_lib()
+    except Exception:
+        return select_inter_mode_np(abi, mb_w, mb_h)
+    return centropy.select_inter_mode_cpp(
+        np.asarray(abi["kind"]), np.asarray(abi["mv"]),
+        np.asarray(abi["refslot"]), mb_w, mb_h,
+        max_slots=MAX_SLOTS, cap=CAP, dx_min=DX_MIN, dx_max=DX_MAX,
+        dy_min=DY_MIN, dy_max=DY_MAX,
+        patch_cap=patch_capacity(mb_w, mb_h))
+
+
+def select_inter_mode_np(abi: FrameABI, mb_w: int, mb_h: int):
+    """Numpy oracle for select_inter_mode (differential-tested against
+    the C++ scan; stable argsorts pin the eviction tie-breaks both
+    implementations share)."""
     n = mb_w * mb_h
     K = patch_capacity(mb_w, mb_h)
     patch = np.full(K, -1, np.int32)
@@ -334,7 +356,7 @@ def select_inter_mode(abi: FrameABI, mb_w: int, mb_h: int):
     # (b) slot pressure: keep the MAX_SLOTS most-referenced slots
     slots, counts = np.unique(refslot[used], return_counts=True)
     if len(slots) > MAX_SLOTS:
-        keep = slots[np.argsort(-counts)][:MAX_SLOTS]
+        keep = slots[np.argsort(-counts, kind="stable")][:MAX_SLOTS]
         viol |= (used & ~np.isin(refslot, keep)).any(-1)
         slots = np.sort(keep)
     slot_list[:len(slots)] = slots
@@ -353,7 +375,7 @@ def select_inter_mode(abi: FrameABI, mb_w: int, mb_h: int):
         u, c = np.unique(vals, return_counts=True)
         if len(u) <= CAP:
             continue
-        evict = u[np.argsort(c)][: len(u) - CAP]
+        evict = u[np.argsort(c, kind="stable")][: len(u) - CAP]
         viol_b[band] |= np.isin(cand_b[band], evict).any(-1)
     idx = np.flatnonzero(viol.ravel()).astype(np.int32)
     if len(idx) > K:

@@ -17,6 +17,7 @@ records the exception per failed stream.
 
 from __future__ import annotations
 
+import functools
 import os
 from concurrent.futures import ThreadPoolExecutor
 
@@ -28,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..api import Decoder, Frame
 from ..models.pipeline import (
-    ABI_DEVICE_KEYS, dpb_alloc, make_ws_consts, select_inter_mode,
+    ABI_DEVICE_KEYS, decode_frame_fn, dpb_alloc, make_ws_consts,
+    select_inter_mode,
 )
 from ..ops.abi import empty_frame_abi
 from ..ops.pallas.mc_kernel import MAX_SLOTS
@@ -100,6 +102,9 @@ class BatchDecoder:
         self._dummy = empty_frame_abi(mb_w, mb_h)
         self._use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
         self._spec_sticky = None
+        self._gather_fn = None
+        self.demotions = 0   # lane-rounds decoded via the per-lane
+                             # gather fallback (observability + tests)
         if self._use_wire:
             from ..ops.wire import pack_wire
             self._dummy_wire = pack_wire(self._dummy, mb_w, mb_h)
@@ -108,6 +113,31 @@ class BatchDecoder:
         if mode not in self._fns:
             self._fns[mode] = self._mk_fn(mode)
         return self._fns[mode]
+
+    def _gather_lane(self, i: int, abi, wire, target):
+        """Full-frame gather decode for ONE adversarial lane whose
+        evictions overflow the patch capacity.  The round's pl-mode
+        launch keeps serving the other lanes; only this lane pays the
+        gather cost (per-stream perf isolation, SURVEY.md §5) — one
+        wild lane no longer demotes the whole round."""
+        mb_w, mb_h = self._geom
+        if self._gather_fn is None:
+            self._gather_fn = jax.jit(functools.partial(
+                decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
+                ws4=jnp.asarray(self._ws[0]), ws8=jnp.asarray(self._ws[1]),
+                cqp_off=self._cqp, inter_mode="gather"))
+        if wire is not None:
+            from ..ops.wire import conform_sections, flatten_wire, unpack_fn
+            buf = flatten_wire(
+                conform_sections(*wire, target, mb_w, mb_h),
+                target, mb_w * mb_h)
+            dev = unpack_fn(mb_w, mb_h, target)(jnp.asarray(buf))
+        else:
+            dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
+        slot_list = jnp.full((MAX_SLOTS,), -1, jnp.int32)
+        self.demotions += 1
+        return self._gather_fn(dev, self._dpb_y[i], self._dpb_c[i],
+                               slot_list)
 
     # ---- lockstep decode --------------------------------------------------
 
@@ -184,13 +214,16 @@ class BatchDecoder:
                     pic0.sps.pic_height_in_map_units) == self._geom, \
                 "lockstep streams must share resolution"
 
-            # unify the round's MC variant (superset lattice: gather >
-            # {list1} x {patched}; a lane needing only the hybrid patch
-            # no longer demotes the round to gather — the round-2 cliff)
-            modes = [lane_modes[i] for i in live]
-            if "gather" in modes:
-                mode = "gather"
-            elif any(m.startswith("pl") for m in modes):
+            # per-lane mode independence (VERDICT r3 #4): a lane whose
+            # evictions overflow the patch capacity is DEMOTED ALONE —
+            # it ships the dummy ABI through the round's batched launch
+            # and is decoded by a separate per-lane gather call against
+            # its own DPB row.  The remaining lanes unify on the pl
+            # superset lattice ({list1} x {patched}) as before, so one
+            # adversarial lane no longer taxes the other B-1.
+            demoted = {i for i in live if lane_modes[i] == "gather"}
+            modes = [lane_modes[i] for i in live if i not in demoted]
+            if any(m.startswith("pl") for m in modes):
                 mode = "pl01" if any(m.startswith("pl01") for m in modes) \
                     else "pl0"
                 if any(m.endswith("p") for m in modes):
@@ -198,6 +231,7 @@ class BatchDecoder:
             else:
                 mode = "none"
 
+            target = None
             if self._use_wire:
                 # bring every lane onto the round's merged wire spec so
                 # ONE sharded upload + unpack serves the whole batch
@@ -217,9 +251,10 @@ class BatchDecoder:
                 n = mb_w * mb_h
                 bufs = [
                     flatten_wire(
-                        conform_sections(*(wires[i] if i in wires
-                                           else self._dummy_wire),
-                                         target, mb_w, mb_h),
+                        conform_sections(
+                            *(wires[i] if i in wires and i not in demoted
+                              else self._dummy_wire),
+                            target, mb_w, mb_h),
                         target, n)
                     for i in range(B)]
                 batchw = jax.device_put(jnp.asarray(np.stack(bufs)),
@@ -228,18 +263,28 @@ class BatchDecoder:
             else:
                 batch = {}
                 for k in ABI_DEVICE_KEYS:
-                    rows = [abis[i][k] if i in abis else self._dummy[k]
+                    rows = [abis[i][k]
+                            if i in abis and i not in demoted
+                            else self._dummy[k]
                             for i in range(B)]
                     batch[k] = jax.device_put(
                         jnp.stack([jnp.asarray(r) for r in rows]),
                         self._sharding)
             slots_arr = np.full((B, MAX_SLOTS), -1, np.int32)
             for i, sl in slot_lists.items():
-                slots_arr[i] = sl
+                if i not in demoted:
+                    slots_arr[i] = sl
             slots_dev = jax.device_put(jnp.asarray(slots_arr),
                                        self._sharding)
             yb, cbb, crb = self._decode_fn(mode)(
                 batch, self._dpb_y, self._dpb_c, slots_dev)
+            for i in sorted(demoted):
+                y1, cb1, cr1 = self._gather_lane(
+                    i, abis[i],
+                    wires[i] if self._use_wire else None, target)
+                yb = yb.at[i].set(y1)
+                cbb = cbb.at[i].set(cb1)
+                crb = crb.at[i].set(cr1)
 
             # commit per stream; collect reference stores for one batched
             # sharded store (trash slot self.n_slots for non-storing lanes)

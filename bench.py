@@ -121,16 +121,33 @@ def bench_tunnel_bw():
 
 
 def bench_host(datas):
-    """Host entropy side alone (parse + ABI pack, no device)."""
+    """Host side alone: the full per-lane pipeline BatchDecoder runs in
+    its parse pool (C++ parse + ABI pack + MC-mode select + wire pack +
+    commit bookkeeping), no device."""
     from arrow_h264_tpu.api import Decoder
+    from arrow_h264_tpu.models.pipeline import select_inter_mode
+    from arrow_h264_tpu.ops.wire import (
+        conform_sections, flatten_wire, merge_specs, pack_wire,
+    )
     zero = (np.zeros((H, W), np.uint8), np.zeros((H // 2, W // 2), np.uint8),
             np.zeros((H // 2, W // 2), np.uint8))
     n = 0
     t0 = time.perf_counter()
     for data in datas:
         dec = Decoder(entropy="cpp")
+        spec_sticky = None
         for pic, poc in dec.parse_pictures(data):
-            dec.pack_abi(pic, poc)
+            mb_w = pic.sps.pic_width_in_mbs
+            mb_h = pic.sps.pic_height_in_map_units
+            abi = dec.pack_abi(pic, poc)
+            _mode, _sl, patch = select_inter_mode(abi, mb_w, mb_h)
+            abi["patch"] = patch
+            sec, spec = pack_wire(abi, mb_w, mb_h)
+            spec_sticky = spec if spec_sticky is None \
+                else merge_specs([spec_sticky, spec])
+            if spec_sticky != spec:
+                sec = conform_sections(sec, spec, spec_sticky, mb_w, mb_h)
+            flatten_wire(sec, spec_sticky, mb_w * mb_h)
             list(dec.commit(pic, poc, *zero, 4, lambda *a: None))
             n += 1
     return n / (time.perf_counter() - t0)

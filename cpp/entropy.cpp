@@ -9,8 +9,12 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libh264entropy.so entropy.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <utility>
+#include <vector>
 
 #include "tables_gen.h"
 
@@ -1093,6 +1097,161 @@ extern "C" long h264e_scan_inter(const int32_t* mv, const int32_t* refidx,
     k++;
   }
   return k;
+}
+
+// ---------------------------------------------------------------------------
+// Per-frame MC-variant selection (models/pipeline.select_inter_mode).
+// The Pallas MC kernel requires MVs inside its slab window, <= max_slots
+// distinct DPB slots, and <= cap distinct (slot, mv_int) candidates per
+// 16-row band; violating cells are evicted into `patch` (repaired on
+// device by the gather pass).  The numpy version loops np.unique over
+// every band (68 at 1080p) on the GIL; this runs on the parse thread.
+//
+// kind [n] i32, mv [n,4,4,2,2] i32, refslot [n,4,4,2] i32 (ABI layout).
+// Returns mode: 0=none, 1=pl0, 2=pl01, 3=gather.  slot_list [max_slots]
+// gets the kept DPB slots ascending (-1 padded); patch [patch_cap] the
+// evicted flat cell ids (mb*16+cell, -1 padded); *n_patch their count.
+// Tie-breaks match the numpy oracle's kind="stable" argsorts exactly
+// (differential-tested), though any kept subset decodes correctly.
+extern "C" int h264e_select_inter_mode(
+    const int32_t* kind, const int32_t* mv, const int32_t* refslot,
+    long n, int mb_w, int mb_h, int max_slots, int cap,
+    int dx_min, int dx_max, int dy_min, int dy_max,
+    long patch_cap, int32_t* slot_list, int32_t* patch, long* n_patch) {
+  *n_patch = 0;
+  for (int i = 0; i < max_slots; i++) slot_list[i] = -1;
+  bool any_inter = false;
+  for (long r = 0; r < n; r++)
+    if (kind[r] >= CAT_P) { any_inter = true; break; }
+  if (!any_inter) return 0;
+
+  std::vector<uint8_t> viol((size_t)n * 16, 0);
+  bool use_l1 = false;
+  // (a) envelope violations + slot usage counts (over ALL used cells,
+  // matching np.unique(refslot[used]))
+  std::map<int32_t, long> slot_count;
+  for (long r = 0; r < n; r++) {
+    const int32_t* m = mv + r * 64;
+    const int32_t* rs = refslot + r * 32;
+    for (int c = 0; c < 16; c++) {
+      for (int l = 0; l < 2; l++) {
+        int32_t s = rs[c * 2 + l];
+        if (s < 0) continue;
+        if (l == 1) use_l1 = true;
+        slot_count[s]++;
+        int32_t dx = m[c * 4 + l * 2 + 0] >> 2;
+        int32_t dy = m[c * 4 + l * 2 + 1] >> 2;
+        if (dx < dx_min || dx > dx_max || dy < dy_min || dy > dy_max)
+          viol[r * 16 + c] = 1;
+      }
+    }
+  }
+  // (b) slot pressure: keep the max_slots most-referenced slots
+  // (stable by ascending slot among count ties)
+  std::vector<std::pair<int32_t, long>> sc(slot_count.begin(),
+                                           slot_count.end());
+  if ((long)sc.size() > max_slots) {
+    std::stable_sort(sc.begin(), sc.end(),
+                     [](const std::pair<int32_t, long>& a,
+                        const std::pair<int32_t, long>& b) {
+                       return a.second > b.second;
+                     });
+    sc.resize(max_slots);
+    std::sort(sc.begin(), sc.end());
+    for (long r = 0; r < n; r++) {
+      const int32_t* rs = refslot + r * 32;
+      for (int c = 0; c < 16; c++) {
+        if (viol[r * 16 + c]) continue;
+        for (int l = 0; l < 2; l++) {
+          int32_t s = rs[c * 2 + l];
+          if (s < 0) continue;
+          bool kept = false;
+          for (auto& p : sc) kept |= (p.first == s);
+          if (!kept) { viol[r * 16 + c] = 1; break; }
+        }
+      }
+    }
+  }
+  // slot -> kernel index k (ascending slot order, as numpy sorts)
+  std::map<int32_t, int32_t> kmap;
+  for (size_t i = 0; i < sc.size(); i++) {
+    slot_list[i] = sc[i].first;
+    kmap[sc[i].first] = (int32_t)i;
+  }
+  // (c) per-band candidate-cap overflow: evict rarest candidates
+  // (stable by ascending candidate value among count ties)
+  std::vector<int32_t> cands;
+  std::vector<int32_t> evicted;
+  for (int band = 0; band < mb_h; band++) {
+    cands.clear();
+    const long r0 = (long)band * mb_w, r1 = r0 + mb_w;
+    for (long r = r0; r < r1; r++) {
+      const int32_t* m = mv + r * 64;
+      const int32_t* rs = refslot + r * 32;
+      for (int c = 0; c < 16; c++) {
+        if (viol[r * 16 + c]) continue;
+        for (int l = 0; l < 2; l++) {
+          int32_t s = rs[c * 2 + l];
+          if (s < 0) continue;
+          int32_t dx = m[c * 4 + l * 2 + 0] >> 2;
+          int32_t dy = m[c * 4 + l * 2 + 1] >> 2;
+          cands.push_back((kmap[s] << 13) | ((dy + 32) << 7) | (dx + 48));
+        }
+      }
+    }
+    if (cands.empty()) continue;
+    std::sort(cands.begin(), cands.end());
+    // run-length the sorted values -> unique (value, count) ascending
+    std::vector<std::pair<int32_t, long>> uc;
+    for (size_t i = 0; i < cands.size();) {
+      size_t j = i;
+      while (j < cands.size() && cands[j] == cands[i]) j++;
+      uc.push_back({cands[i], (long)(j - i)});
+      i = j;
+    }
+    if ((long)uc.size() <= cap) continue;
+    std::stable_sort(uc.begin(), uc.end(),
+                     [](const std::pair<int32_t, long>& a,
+                        const std::pair<int32_t, long>& b) {
+                       return a.second < b.second;
+                     });
+    evicted.clear();
+    for (long i = 0; i < (long)uc.size() - cap; i++)
+      evicted.push_back(uc[i].first);
+    std::sort(evicted.begin(), evicted.end());
+    for (long r = r0; r < r1; r++) {
+      const int32_t* m = mv + r * 64;
+      const int32_t* rs = refslot + r * 32;
+      for (int c = 0; c < 16; c++) {
+        if (viol[r * 16 + c]) continue;
+        for (int l = 0; l < 2; l++) {
+          int32_t s = rs[c * 2 + l];
+          if (s < 0) continue;
+          int32_t dx = m[c * 4 + l * 2 + 0] >> 2;
+          int32_t dy = m[c * 4 + l * 2 + 1] >> 2;
+          int32_t v = (kmap[s] << 13) | ((dy + 32) << 7) | (dx + 48);
+          if (std::binary_search(evicted.begin(), evicted.end(), v)) {
+            viol[r * 16 + c] = 1;
+            break;
+          }
+        }
+      }
+    }
+  }
+  // compact the evicted cells into the patch list
+  long k = 0;
+  for (long i = 0; i < n * 16; i++) {
+    if (!viol[i]) continue;
+    if (k < patch_cap) patch[k] = (int32_t)i;
+    k++;
+  }
+  if (k > patch_cap) {
+    *n_patch = 0;
+    for (long i = 0; i < patch_cap; i++) patch[i] = -1;
+    return 3;
+  }
+  *n_patch = k;
+  return use_l1 ? 2 : 1;
 }
 
 // continued in entropy_mb.inc (macroblock layer + slice loop)

@@ -53,6 +53,53 @@ def test_batch_decoder_error_isolation(h264ref, tmp_path):
         assert np.array_equal(ours, goldens[i]), f"stream {i} mismatch"
 
 
+def test_batch_decoder_per_lane_demotion(h264ref, tmp_path, monkeypatch):
+    """A lane that needs the full gather path (patch-capacity overflow)
+    is demoted ALONE: the round's batched launch stays in a pl mode for
+    the other lanes, the demoted lane decodes through the per-lane
+    gather call, and every lane remains bit-exact (VERDICT r3 #4:
+    per-stream perf isolation — one wild lane must not tax the rest)."""
+    import arrow_h264_tpu.parallel.batch as batch_mod
+    from arrow_h264_tpu.parallel.batch import BatchDecoder
+
+    n = len(jax.devices())
+    datas, goldens = _make_streams(tmp_path, n)
+    wild = 3
+    real_select = batch_mod.select_inter_mode
+    bd = BatchDecoder(n)
+
+    # tag the wild lane's ABIs so the forced selector can identify them
+    # (pack() runs in a thread pool, so call order is not lane order)
+    wild_ids = set()
+    orig_pack = bd.decoders[wild].pack_abi
+
+    def tag_pack(pic, poc):
+        abi = orig_pack(pic, poc)
+        wild_ids.add(id(abi))
+        return abi
+
+    bd.decoders[wild].pack_abi = tag_pack
+
+    def forced(abi, mb_w, mb_h):
+        # simulate a patch-capacity overflow on the wild lane's inter
+        # frames: select_inter_mode returns "gather" exactly as it
+        # would when len(evictions) > patch_capacity
+        mode, sl, patch = real_select(abi, mb_w, mb_h)
+        if id(abi) in wild_ids and mode != "none":
+            return "gather", np.full_like(sl, -1), np.full_like(patch, -1)
+        return mode, sl, patch
+
+    monkeypatch.setattr(batch_mod, "select_inter_mode", forced)
+    outs = bd.decode(datas)
+    assert all(e is None for e in bd.errors), bd.errors
+    assert bd.demotions > 0, "the wild lane must hit the per-lane path"
+    assert "gather" not in bd._fns, \
+        "the batched sharded launch must never demote to gather"
+    for i, (frames, golden) in enumerate(zip(outs, goldens)):
+        ours = np.stack([np.frombuffer(f.planar(), np.uint8) for f in frames])
+        assert np.array_equal(ours, golden), f"stream {i} mismatch"
+
+
 def test_lockstep_sharded_step():
     """Sharded lockstep reconstruction over the 8-device mesh (P-frames
     through the Pallas MC path)."""

@@ -146,3 +146,31 @@ def test_map_type3_boxout_properties():
                         slice_group_change_rate=3))
     assert (m == 0).sum() == 6           # mu0 = min(2*3, 25)
     assert m[2 * 5 + 2] == 0             # center (x,y)=(2,2) seeds group 0
+
+
+@pytest.mark.parametrize("map_kind", ["interleave", "explicit"])
+def test_fmo_cavlc_residual_bit_exact(h264ref, tmp_path, map_kind):
+    """FMO with REAL syntax (not PCM): I16 DC+AC CAVLC residuals, P
+    slices with skip runs / mvd / intra-in-P, parsed through slice
+    groups.  Oracle: the raster twin carries identical per-MB content
+    with slices cut at group row boundaries (equal neighbor
+    availability), and decodes through libavcodec — so the FMO stream's
+    decode is pinned to an independent golden.  Covers map types 0 and
+    6 with residual-bearing slice data (the all-PCM streams above carry
+    no residual syntax)."""
+    from tools.fmo_streams import make_fmo_cavlc_pair
+    from tools import streams
+
+    fmo, ras = make_fmo_cavlc_pair(map_kind, n_frames=3)
+    p = tmp_path / f"fmo_{map_kind}_twin.264"
+    p.write_bytes(ras)
+    golden, gw, gh = streams.golden_decode(str(p))
+    assert len(golden) == 3
+
+    ours_ras = np.stack(_ours(ras))
+    assert np.array_equal(ours_ras, golden), "raster twin mismatch"
+
+    got = _ours(fmo)
+    assert len(got) == len(golden)
+    for j, ours in enumerate(got):
+        assert np.array_equal(ours, golden[j]), (map_kind, j)
