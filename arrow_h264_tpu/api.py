@@ -117,10 +117,10 @@ class Decoder:
                  conceal: bool = False, trace_se=None) -> None:
         self._trace = trace_target(trace)
         self._trace_se = trace_se_target(trace_se)
-        if self._trace_se is not None:
-            # SE-level tracing hooks the pure-Python entropy layers
-            # (the differential oracle); the C++ parser has no hooks
-            entropy = "python"
+        # SE-level tracing works on BOTH engines: the Python oracle via
+        # TracingBitReader, the shipped C++ engine via a -DH264E_TRACE
+        # build whose records are converted to the same log format
+        # (differential-tested equal in test_trace_se)
         self._frame_idx = 0
         self.conceal = conceal
         self.concealed: list[tuple[int, int]] = []
@@ -246,8 +246,9 @@ class Decoder:
                         self._dpb_sps_id = sps.seq_parameter_set_id
                     # FMO pictures take the Python entropy path (the C++
                     # parser iterates raster-order; SURVEY.md §2 FMO row)
-                    cur = (centropy.CppPictureParse(sps, pps,
-                                                    pool=self._pic_pool)
+                    cur = (centropy.CppPictureParse(
+                               sps, pps, pool=self._pic_pool,
+                               trace=self._trace_se is not None)
                            if self.entropy == "cpp"
                            and pps.num_slice_groups == 1
                            else PictureParse(sps, pps))

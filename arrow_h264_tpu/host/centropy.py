@@ -71,25 +71,30 @@ class _SliceParams(C.Structure):
 _libs: dict = {}
 
 
-def load_lib(sanitize: bool | None = None):
+def load_lib(sanitize: bool | None = None, trace: bool = False):
     """Build (if stale) and load the host entropy library.
 
     sanitize=True (or ARROW_H264_SANITIZE=1) builds with ASAN+UBSAN —
     the library parses untrusted bitstreams (SURVEY.md §5 sanitizers).
-    The sanitized build is a separate .so so both can coexist; the load
-    cache is keyed by the sanitize flag so requesting the other variant
-    after a first load returns the right build.
+    trace=True builds with -DH264E_TRACE: every syntax-element read is
+    recorded into a caller-provided buffer with the same records the
+    Python TracingBitReader produces (--trace-se on the C++ engine).
+    Each variant is a separate .so so they coexist; the load cache is
+    keyed by the flags.
     """
     if sanitize is None:
         sanitize = os.environ.get("ARROW_H264_SANITIZE") == "1"
-    if sanitize in _libs:
-        return _libs[sanitize]
+    if (sanitize, trace) in _libs:
+        return _libs[(sanitize, trace)]
     lib_path = _LIB_PATH
     flags = ["-O3", "-march=native", "-funroll-loops"]
     if sanitize:
         lib_path = lib_path.with_name("libh264entropy_asan.so")
         flags = ["-O1", "-g", "-fsanitize=address,undefined",
                  "-fno-sanitize-recover=undefined"]
+    if trace:
+        lib_path = lib_path.with_name(lib_path.stem + "_trace.so")
+        flags = flags + ["-DH264E_TRACE"]
     newest_src = max(p.stat().st_mtime for p in _SRC if p.exists())
     if not lib_path.exists() or lib_path.stat().st_mtime < newest_src:
         subprocess.run(
@@ -130,8 +135,13 @@ def load_lib(sanitize: bool | None = None):
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_long, C.c_int, C.c_int,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_long,
         C.c_void_p, C.c_void_p, C.POINTER(C.c_long)]
+    if trace:
+        lib.h264e_trace_set.restype = None
+        lib.h264e_trace_set.argtypes = [C.c_void_p, C.c_long]
+        lib.h264e_trace_count.restype = C.c_long
+        lib.h264e_trace_count.argtypes = []
     assert lib.h264e_abi_version() == ABI_VERSION
-    _libs[sanitize] = lib
+    _libs[(sanitize, trace)] = lib
     return lib
 
 
@@ -332,12 +342,16 @@ def _alloc_arrays(mb_w: int, mb_h: int) -> dict:
 class CppPictureParse:
     """C++-backed per-picture parse state (drop-in for api.Decoder)."""
 
-    def __init__(self, sps: SPS, pps: PPS, pool: PicBufPool | None = None):
+    def __init__(self, sps: SPS, pps: PPS, pool: PicBufPool | None = None,
+                 trace: bool = False):
         self.sps, self.pps = sps, pps
         self.mb_w = sps.pic_width_in_mbs
         self.mb_h = sps.pic_height_in_map_units
         self.headers: list[SliceHeader] = []
         self.slice_reflists: list[tuple] = []
+        # trace: use the -DH264E_TRACE build and convert its per-read
+        # records into the caller's SE log (api --trace-se on cpp)
+        self._trace = trace
         self._pool = pool
         self._pool_key = (self.mb_w, self.mb_h)
         a = pool.acquire(self._pool_key) if pool is not None else None
@@ -372,7 +386,7 @@ class CppPictureParse:
                 ("cbf_cdc", "cbf_cdc"), ("cbf_cac", "cbf_cac"),
                 ("mvd_grid", "mvd_grid")):
             setattr(self.pb, name, _ptr(a[key]))
-        load_lib().h264e_reset_pic(C.byref(self.pb))
+        load_lib(trace=self._trace).h264e_reset_pic(C.byref(self.pb))
         self._keepalive = []
 
     def retire(self) -> None:
@@ -382,9 +396,12 @@ class CppPictureParse:
             self._pool.release(self._pool_key, self.a)
             self.a = None
 
+    # C++ trace-record kind -> Python TracingBitReader kind tag
+    _TR_KINDS = ("u", "ue", "se", "te", "cab", "cby")
+
     def parse_slice(self, r, hdr: SliceHeader, reflists=((), ()),
                     cur_poc: int = 0) -> None:
-        lib = load_lib()
+        lib = load_lib(trace=self._trace)
         slice_id = len(self.headers)
         self.headers.append(hdr)
         self.slice_reflists.append(reflists)
@@ -428,10 +445,32 @@ class CppPictureParse:
             setattr(sp, f"{lname}_len", len(lref))
         self._keepalive.append(keep)
         data = r.data
+        tr_buf = None
+        if self._trace:
+            # Record count is spec-bounded: CABAC bins <= 32/3 per byte
+            # (~1.33/bit, A.3.1) and CAVLC raw records are >= 1 bit each
+            # except synthesized per-bit VLC records (1/bit), so 2x the
+            # remaining bit budget + slack can't overflow on conforming
+            # input.
+            cap = (len(data) * 8 - r.pos) * 2 + 4096
+            tr_buf = np.empty((cap, 4), np.int32)
+            lib.h264e_trace_set(_ptr(tr_buf), cap)
         t0 = time.perf_counter() if gil_meter.enabled else 0.0
         ret = lib.h264e_parse_slice(C.byref(self.pb), C.byref(sp),
                                     data, len(data), r.pos)
         gil_meter.add(time.perf_counter() - t0)
+        if tr_buf is not None:
+            n = int(lib.h264e_trace_count())
+            lib.h264e_trace_set(None, 0)   # buffer is freed on return
+            log = getattr(r, "log", None)
+            if log is not None:
+                if n > len(tr_buf):
+                    raise RuntimeError(
+                        f"SE trace overflow ({n} records, cap {cap}): "
+                        "non-conforming bin density")
+                kinds = self._TR_KINDS
+                for k, p, nn, v in tr_buf[:n].tolist():
+                    log.append((kinds[k], p, nn, v))
         if ret != 0:
             raise ValueError(f"C++ slice parse failed: {ret}")
 

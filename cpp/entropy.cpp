@@ -47,6 +47,45 @@ extern "C" H264eStats* h264e_stats() { return &g_h264e_stats; }
 #define H264E_TSC(field, expr) expr
 #endif
 
+#ifdef H264E_TRACE
+// SE-level trace (the JM TRACE analog; trace.py dump_se_log).  A
+// -DH264E_TRACE build records every syntax-element read into a
+// caller-provided buffer with the SAME records the Python
+// TracingBitReader/CabacDecoder produce, so the two engines'traces
+// diff equal on a conforming stream (differential-tested):
+//   kind 0..3 = u/ue/se/te raw reads (CAVLC slices only; CABAC slices
+//   mute raw reads exactly like CabacDecoder sets r.mute), kind 4 =
+//   CABAC decision (n = ctx index), kind 5 = bypass (n = -1).
+// Compiled out of the shipped library (zero overhead when undefined).
+struct H264eTraceRec { int32_t kind, pos, n, v; };
+static H264eTraceRec* g_tr_buf = nullptr;
+static long g_tr_len = 0, g_tr_cap = 0;
+static bool g_tr_raw = false;   // raw bit reads logged (CAVLC slices)
+extern "C" void h264e_trace_set(void* buf, long cap) {
+  g_tr_buf = (H264eTraceRec*)buf;
+  g_tr_cap = cap;
+  g_tr_len = 0;
+}
+extern "C" long h264e_trace_count() { return g_tr_len; }
+static inline void h264e_tr(int kind, int64_t pos, int n, int v) {
+  if (g_tr_buf == nullptr) return;
+  if (g_tr_len < g_tr_cap) {
+    g_tr_buf[g_tr_len].kind = kind;
+    g_tr_buf[g_tr_len].pos = (int32_t)pos;
+    g_tr_buf[g_tr_len].n = n;
+    g_tr_buf[g_tr_len].v = v;
+  }
+  g_tr_len++;                   // counts past cap to signal overflow
+}
+#define H264E_TR(k, p, n, v) h264e_tr(k, p, n, v)
+#define H264E_TR_RAW(k, p, n, v) do { if (g_tr_raw) h264e_tr(k, p, n, v); } while (0)
+#define H264E_TR_SETRAW(flag) (g_tr_raw = (flag))
+#else
+#define H264E_TR(k, p, n, v)
+#define H264E_TR_RAW(k, p, n, v)
+#define H264E_TR_SETRAW(flag)
+#endif
+
 namespace {
 
 constexpr int32_t ORDER_UNDECODED = 1 << 30;
@@ -122,13 +161,13 @@ struct BitReader {
     return v;
   }
 
-  H264E_INLINE int u1() {
+  H264E_INLINE int u1_raw() {
     if (H264E_UNLIKELY(pos >= nbits)) { error = true; return 0; }
     int b = (int)(cache >> 63);
     consume(1);
     return b;
   }
-  H264E_INLINE uint32_t u(int n) {  // n in 0..32
+  H264E_INLINE uint32_t u_raw(int n) {  // n in 0..32
     if (n == 0) return 0;
     if (H264E_UNLIKELY(pos + n > nbits)) error = true;
     uint32_t v = (uint32_t)(cache >> (64 - n));
@@ -138,7 +177,7 @@ struct BitReader {
   H264E_INLINE uint32_t peek(int n) const {  // n in 1..32, zero-padded past end
     return (uint32_t)(cache >> (64 - n));
   }
-  H264E_INLINE uint32_t ue() {
+  H264E_INLINE uint32_t ue_raw() {
     int lz = cache ? __builtin_clzll(cache) : 64;
     if (H264E_UNLIKELY(lz >= ncache)) {  // zeros may extend past the cache
       reload();
@@ -155,15 +194,53 @@ struct BitReader {
     // long codeword spanning the cache: two-step (rare)
     if (H264E_UNLIKELY(pos + total > nbits)) error = true;
     consume(lz + 1);
-    return (uint32_t)((1ull << lz) - 1 + u(lz));
+    return (uint32_t)((1ull << lz) - 1 + u_raw(lz));
+  }
+  // Public reads log SE-trace records in -DH264E_TRACE builds with the
+  // exact granularity of the Python TracingBitReader (composite ue/se/
+  // te codes log once; their inner fixed reads stay raw).
+  H264E_INLINE int u1() {
+    int64_t p = pos; (void)p;
+    int b = u1_raw();
+    H264E_TR_RAW(0, p, 1, b);
+    return b;
+  }
+  H264E_INLINE uint32_t u(int n) {
+    int64_t p = pos; (void)p;
+    uint32_t v = u_raw(n);
+    H264E_TR_RAW(0, p, n, (int)v);
+    return v;
+  }
+  H264E_INLINE uint32_t ue() {
+    int64_t p = pos; (void)p;
+    uint32_t v = ue_raw();
+    H264E_TR_RAW(1, p, (int)(pos - p), (int)v);
+    return v;
   }
   H264E_INLINE int32_t se() {
-    uint32_t k = ue();
-    return (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
+    int64_t p = pos; (void)p;
+    uint32_t k = ue_raw();
+    int32_t v = (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
+    H264E_TR_RAW(2, p, (int)(pos - p), v);
+    return v;
   }
   H264E_INLINE uint32_t te(int max_val) {
-    if (max_val == 1) return 1 - u1();
-    return ue();
+    int64_t p = pos; (void)p;
+    uint32_t v = (max_val == 1) ? (uint32_t)(1 - u1_raw()) : ue_raw();
+    H264E_TR_RAW(3, p, (int)(pos - p), (int)v);
+    return v;
+  }
+  // VLC table consume: synthesizes the per-bit records the Python
+  // oracle's _read_vlc emits (one ("u", p, 1, bit) per code bit)
+  H264E_INLINE void skip_vlc(int n) {
+#ifdef H264E_TRACE
+    if (g_tr_raw) {
+      uint32_t b = peek(n);
+      for (int i = 0; i < n; i++)
+        h264e_tr(0, pos + i, 1, (int)((b >> (n - 1 - i)) & 1));
+    }
+#endif
+    consume(n);
   }
   inline void align() {
     int rem = (int)(pos & 7);
@@ -216,7 +293,11 @@ struct Cabac {
     r = br;
     r->align();
     range_ = 510;
-    offset_ = (int32_t)r->u(9);
+    int64_t p = r->pos; (void)p;
+    offset_ = (int32_t)r->u_raw(9);
+    // CabacDecoder.__init__ reads the 9 init bits before muting the
+    // raw log, so the Python SE trace carries this one record
+    H264E_TR(0, p, 9, offset_);
   }
   void init_ctx(int qp, const int8_t* tab) {
     if (qp < 0) qp = 0;
@@ -241,6 +322,7 @@ struct Cabac {
   }
   H264E_INLINE int decision(int ctx) {
     H264E_STAT(decisions, 1);
+    int64_t p = r->pos; (void)p;
     unsigned s2 = pstate[ctx];
     int lps = kCT.lps2[s2 * 4 + ((range_ >> 6) & 3)];
     range_ -= lps;
@@ -251,14 +333,17 @@ struct Cabac {
     range_ = mps_mask ? range_ : lps;
     pstate[ctx] = mps_mask ? kCT.next_mps[s2] : kCT.next_lps[s2];
     renorm();
+    H264E_TR(4, p, ctx, bit);
     return bit;
   }
   H264E_INLINE int bypass() {
     H264E_STAT(bypasses, 1);
+    int64_t p = r->pos; (void)p;
     offset_ = (offset_ << 1) | (int32_t)r->refill_bits(1);
     int32_t diff = offset_ - range_;
     int one = (int)(~(diff >> 31) & 1);
     offset_ = one ? diff : offset_;
+    H264E_TR(5, p, -1, one);
     return one;
   }
   H264E_INLINE int terminate() {
@@ -274,7 +359,8 @@ struct Cabac {
   void reinit() {
     r->align();
     range_ = 510;
-    offset_ = (int32_t)r->u(9);
+    offset_ = (int32_t)r->u_raw(9);  // raw: the Python engine re-reads
+                                     // with the trace log muted
   }
   H264E_INLINE int eg_bypass(int k) {
     int v = 0;
@@ -352,6 +438,8 @@ struct FastCab {
   }
   H264E_INLINE int dec(int ctx) {
     H264E_STAT(decisions, 1);
+    int64_t p = pos - s; (void)p;  // logical consumed bits (pos - s is
+                                   // refill-invariant; see exit())
     unsigned s2 = ps[ctx];
     int lps = kCT.lps2[s2 * 4 + ((range >> 6) & 3)];
     range -= lps;
@@ -370,15 +458,19 @@ struct FastCab {
     range <<= sh;
     s -= sh;
     if (H264E_UNLIKELY(s < 8)) refill32();
+    H264E_TR(4, p, ctx, bit);
     return bit;
   }
   H264E_INLINE int byp() {
     H264E_STAT(bypasses, 1);
+    int64_t p = pos - s; (void)p;
     s -= 1;
     if (H264E_UNLIKELY(s < 8)) refill32();
     uint64_t rs = (uint64_t)range << s;
-    if (low >= rs) { low -= rs; return 1; }
-    return 0;
+    int one = 0;
+    if (low >= rs) { low -= rs; one = 1; }
+    H264E_TR(5, p, -1, one);
+    return one;
   }
   H264E_INLINE int eg0() {  // exp-golomb k=0 bypass suffix (abs >= 15)
     int k = 0, v = 0;
@@ -573,7 +665,7 @@ struct Parser {
       int len = kCoeffTokLen3[p16];
       int val = kCoeffTokVal3[p16];
       if (len == 0) { r.error = true; return 0; }
-      r.skip(len);
+      r.skip_vlc(len);
       total_coeff = val >> 2; trailing_ones = val & 3;
     } else if (nc < 8) {
       int cls = nc < 2 ? 0 : (nc < 4 ? 1 : 2);
@@ -583,7 +675,7 @@ struct Parser {
       int len = tl[p16];
       if (len == 0) { r.error = true; return 0; }
       int val = tv[p16];
-      r.skip(len);
+      r.skip_vlc(len);
       total_coeff = val >> 2; trailing_ones = val & 3;
     } else {
       uint32_t v = r.u(6);
@@ -622,13 +714,13 @@ struct Parser {
         int len = kTzcLen[total_coeff][p];
         if (len == 0) { r.error = true; return 0; }
         total_zeros = kTzcVal[total_coeff][p];
-        r.skip(len);
+        r.skip_vlc(len);
       } else {
         uint32_t p = r.peek(9);
         int len = kTz4Len[total_coeff][p];
         if (len == 0) { r.error = true; return 0; }
         total_zeros = kTz4Val[total_coeff][p];
-        r.skip(len);
+        r.skip_vlc(len);
       }
     }
 
@@ -642,7 +734,7 @@ struct Parser {
         int len = kRunLen[zl][p];
         if (len == 0) { r.error = true; return 0; }
         runs[i] = kRunVal[zl][p];
-        r.skip(len);
+        r.skip_vlc(len);
       }
       zeros_left -= runs[i];
     }

@@ -96,7 +96,7 @@ def test_trace_se(h264ref, tmp_path):
     for run in range(2):
         p = tmp_path / f"se{run}.txt"
         dec = Decoder(trace_se=str(p))
-        assert dec.entropy == "python"
+        assert dec.entropy == "cpp"   # tracing works on the shipped engine
         n = sum(1 for _ in dec.decode_annexb(data))
         assert n == 2
         logs.append(p.read_text())
