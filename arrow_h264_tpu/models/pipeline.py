@@ -40,16 +40,16 @@ from ..bitstream.params import PPS, SPS
 from ..ops.abi import KIND_P, FrameABI, patch_capacity
 from ..ops.deblock import deblock_planes, deblock_tables
 from ..ops.inter import (
-    PAD, halfpel_planes, inter_predict, pad_chroma, patch_inter_pred,
+    PAD, halfpel_planes, inter_predict_packed, pad_chroma,
+    patch_inter_pred_packed,
 )
 from ..ops.intra import intra_reconstruct
 from ..ops.pallas.deblock_phase import deblock_phase_batch
 from ..ops.pallas.intra_phase import intra_phase_batch
 from ..ops.pallas.mc_kernel import (
-    CAP, DX_MAX, DX_MIN, DY_MAX, DY_MIN, MAX_SLOTS, PADC, chroma_lanes,
+    CAP, DX_MAX, DX_MIN, DY_MAX, DY_MIN, MAX_SLOTS, chroma_lanes,
     chroma_rows,
     inter_predict_pallas_batch, luma_lanes, pack_u8_plane,
-    unpack_u32_plane,
 )
 from ..ops.transforms import _mb_mask_to_plane, make_ws_consts, residual_planes
 
@@ -121,11 +121,7 @@ def _mc_pred(abi: dict, dpb_y4p, dpb_cp, slot_list, *, mb_w: int, mb_h: int,
             mb_w=mb_w, mb_h=mb_h, inter_mode=inter_mode)
         return tuple(p[0] for p in preds)
     abi_w = resolve_weights(abi)
-    dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
-    dpb_c = unpack_u32_plane(
-        dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
-    return inter_predict(
-        abi_w, dpb_y4, dpb_c[:, 0], dpb_c[:, 1], mb_w, mb_h)
+    return inter_predict_packed(abi_w, dpb_y4p, dpb_cp, mb_w, mb_h)
 
 
 def _mc_pred_batch(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
@@ -158,12 +154,9 @@ def _mc_pred_batch(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
         # ... then repair exactly those cells with the gather path
         def repair_one(preds1, mv, refslot, wp, logwd, dpb_y4p, dpb_cp,
                        patch):
-            dpb_y4 = unpack_u32_plane(dpb_y4p, W + 2 * PAD)
-            dpb_c = unpack_u32_plane(
-                dpb_cp[:, :, :H // 2 + 2 * PADC], W // 2 + 2 * PADC)
             a = {"mv": mv, "refslot": refslot, "wp": wp, "logwd": logwd}
-            return patch_inter_pred(preds1, a, dpb_y4, dpb_c[:, 0],
-                                    dpb_c[:, 1], patch, mb_w, mb_h)
+            return patch_inter_pred_packed(preds1, a, dpb_y4p, dpb_cp,
+                                           patch, mb_w, mb_h)
 
         preds = jax.vmap(repair_one)(
             preds, abi_w_b["mv"], abi_w_b["refslot"], abi_w_b["wp"],

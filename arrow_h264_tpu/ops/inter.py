@@ -15,11 +15,14 @@ the spec's unrestricted-MV edge extension (see oracle.inter).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 PAD = 32            # luma padding; chroma uses PAD // 2
+PADC = PAD // 2
 
 
 def _tap6_1d(v, axis):
@@ -57,48 +60,48 @@ def pad_chroma(p):
     return jnp.pad(p, PAD // 2, mode="edge")
 
 
-def luma_mc_gather(dpb_y4, slot, bx, by, mvx, mvy):
-    """Quarter-pel MC via plane gathers.
+# plane/offset table per (yf, xf): (plane1, dy1, dx1, plane2, dy2, dx2)
+# planes: 0 G, 1 b, 2 h, 3 j  (spec 8.4.2.2.1 quarter-pel positions)
+_LUMA_TAB = [
+    # yf = 0
+    [0, 0, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0], [1, 0, 0, 1, 0, 0],
+    [1, 0, 0, 0, 0, 1],
+    # yf = 1
+    [0, 0, 0, 2, 0, 0], [1, 0, 0, 2, 0, 0], [1, 0, 0, 3, 0, 0],
+    [1, 0, 0, 2, 0, 1],
+    # yf = 2
+    [2, 0, 0, 2, 0, 0], [2, 0, 0, 3, 0, 0], [3, 0, 0, 3, 0, 0],
+    [3, 0, 0, 2, 0, 1],
+    # yf = 3
+    [0, 1, 0, 2, 0, 0], [1, 1, 0, 2, 0, 0], [3, 0, 0, 1, 1, 0],
+    [1, 1, 0, 2, 0, 1],
+]
 
-    dpb_y4: [S, 4, Hp, Wp] uint8 — (G, b, h, j) planes per slot.
-    slot/bx/by [N]; mv in qpel.  Returns [N, 4, 4] int32.
 
-    Position table (spec 8.4.2.2.1): out = (P1 + P2 + 1) >> 1 with plane and
-    offset selection by (xFrac, yFrac); full/half positions use P1 == P2.
+def _luma_gather_core(fetch, Hp, Wp, slot, bx, by, mvx, mvy):
+    """Quarter-pel luma MC over a pixel-fetch closure.
+
+    fetch(slot3, plane3, yy, xx) -> int32 pixels; indices pre-clamped to
+    [0, Hp-1] x [0, Wp-1] (clamp == spec edge extension given the planes
+    are PAD edge-padded).  Returns [N, 4, 4] int32.
+
+    Position table: out = (P1 + P2 + 1) >> 1 with plane and offset
+    selection by (xFrac, yFrac); full/half positions use P1 == P2.
     """
-    Hp, Wp = dpb_y4.shape[2], dpb_y4.shape[3]
     xi = bx + (mvx >> 2) + PAD
     yi = by + (mvy >> 2) + PAD
     xf = mvx & 3
     yf = mvy & 3
-
-    # plane/offset table per (yf, xf): (plane1, dy1, dx1, plane2, dy2, dx2)
-    # planes: 0 G, 1 b, 2 h, 3 j
-    table = jnp.asarray([
-        # yf = 0
-        [0, 0, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0], [1, 0, 0, 1, 0, 0],
-        [1, 0, 0, 0, 0, 1],
-        # yf = 1
-        [0, 0, 0, 2, 0, 0], [1, 0, 0, 2, 0, 0], [1, 0, 0, 3, 0, 0],
-        [1, 0, 0, 2, 0, 1],
-        # yf = 2
-        [2, 0, 0, 2, 0, 0], [2, 0, 0, 3, 0, 0], [3, 0, 0, 3, 0, 0],
-        [3, 0, 0, 2, 0, 1],
-        # yf = 3
-        [0, 1, 0, 2, 0, 0], [1, 1, 0, 2, 0, 0], [3, 0, 0, 1, 1, 0],
-        [1, 1, 0, 2, 0, 1],
-    ], jnp.int32)                               # [16, 6]
+    table = jnp.asarray(_LUMA_TAB, jnp.int32)   # [16, 6]
     sel = table[yf * 4 + xf]                    # [N, 6]
-
     ys = jnp.arange(4)
     xs = jnp.arange(4)
-    # clamp bases so the 4x4 read stays in the padded plane (clamp == spec
-    # edge extension given |overshoot| <= PAD handled by padding)
+
     def gather(plane_idx, dy, dx):
         yy = jnp.clip(yi[:, None] + dy[:, None] + ys[None, :], 0, Hp - 1)
         xx = jnp.clip(xi[:, None] + dx[:, None] + xs[None, :], 0, Wp - 1)
-        return dpb_y4[slot[:, None, None], plane_idx[:, None, None],
-                      yy[:, :, None], xx[:, None, :]].astype(jnp.int32)
+        return fetch(slot[:, None, None], plane_idx[:, None, None],
+                     yy[:, :, None], xx[:, None, :])
 
     p1 = gather(sel[:, 0], sel[:, 1], sel[:, 2])
     p2 = gather(sel[:, 3], sel[:, 4], sel[:, 5])
@@ -108,14 +111,41 @@ def luma_mc_gather(dpb_y4, slot, bx, by, mvx, mvy):
     return jnp.where(same[:, None, None], p1, avg)
 
 
-def chroma_mc_blocks(dpb_c, slot, bx, by, mvx, mvy):
-    """1/8-pel bilinear chroma MC for N 2x2 blocks via 4 pixel gathers.
+def luma_mc_gather(dpb_y4, slot, bx, by, mvx, mvy):
+    """Quarter-pel MC via DENSE plane gathers (test oracle path).
 
-    dpb_c [S, Hcp, Wcp] uint8 (padded PAD//2).  Returns [N, 2, 2] int32.
-    """
-    Hp, Wp = dpb_c.shape[1], dpb_c.shape[2]
-    xi = bx + (mvx >> 3) + PAD // 2
-    yi = by + (mvy >> 3) + PAD // 2
+    dpb_y4: [S, 4, Hp, Wp] uint8 — (G, b, h, j) planes per slot.
+    slot/bx/by [N]; mv in qpel.  Returns [N, 4, 4] int32."""
+    Hp, Wp = dpb_y4.shape[2], dpb_y4.shape[3]
+
+    def fetch(s, p, yy, xx):
+        return dpb_y4[s, p, yy, xx].astype(jnp.int32)
+
+    return _luma_gather_core(fetch, Hp, Wp, slot, bx, by, mvx, mvy)
+
+
+def luma_mc_gather_packed(dpb_y4p, Wpx, slot, bx, by, mvx, mvy):
+    """Quarter-pel MC gathering DIRECTLY from the packed u32 DPB planes
+    (dpb_y4p [S, 4, Hp, L], little-endian 4 px/lane — models.pipeline's
+    device DPB layout).  Gathering the u32 word and extracting the byte
+    avoids materializing a dense unpacked DPB as the gather operand
+    (~55 MB/slot-set per stream — the batch=32 HBM blowup).  Wpx: real
+    pixel width (L*4 may exceed it; the lane-rounding columns are
+    garbage, so clamp happens in PIXEL space)."""
+    Hp = dpb_y4p.shape[2]
+
+    def fetch(s, p, yy, xx):
+        w = dpb_y4p[s, p, yy, xx >> 2]
+        sh = ((xx & 3) << 3).astype(jnp.uint32)
+        return ((w >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+
+    return _luma_gather_core(fetch, Hp, Wpx, slot, bx, by, mvx, mvy)
+
+
+def _chroma_gather_core(fetch, Hp, Wp, slot, bx, by, mvx, mvy):
+    """1/8-pel bilinear chroma MC for N 2x2 blocks via 4 pixel gathers."""
+    xi = bx + (mvx >> 3) + PADC
+    yi = by + (mvy >> 3) + PADC
     xf = (mvx & 7)[:, None, None]
     yf = (mvy & 7)[:, None, None]
     ys = jnp.arange(2)
@@ -124,8 +154,7 @@ def chroma_mc_blocks(dpb_c, slot, bx, by, mvx, mvy):
     def g(dy, dx):
         yy = jnp.clip(yi[:, None] + ys[None, :] + dy, 0, Hp - 1)
         xx = jnp.clip(xi[:, None] + xs[None, :] + dx, 0, Wp - 1)
-        return dpb_c[slot[:, None, None], yy[:, :, None],
-                     xx[:, None, :]].astype(jnp.int32)
+        return fetch(slot[:, None, None], yy[:, :, None], xx[:, None, :])
 
     A = g(0, 0)
     B = g(0, 1)
@@ -133,6 +162,29 @@ def chroma_mc_blocks(dpb_c, slot, bx, by, mvx, mvy):
     D = g(1, 1)
     return ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B +
             (8 - xf) * yf * C + xf * yf * D + 32) >> 6
+
+
+def chroma_mc_blocks(dpb_c, slot, bx, by, mvx, mvy):
+    """Dense-plane chroma MC.  dpb_c [S, Hcp, Wcp] uint8 (padded PADC).
+    Returns [N, 2, 2] int32."""
+    Hp, Wp = dpb_c.shape[1], dpb_c.shape[2]
+
+    def fetch(s, yy, xx):
+        return dpb_c[s, yy, xx].astype(jnp.int32)
+
+    return _chroma_gather_core(fetch, Hp, Wp, slot, bx, by, mvx, mvy)
+
+
+def chroma_mc_blocks_packed(dpb_cp1, Hpx, Wpx, slot, bx, by, mvx, mvy):
+    """Chroma MC from ONE packed plane [S, Hp, L] u32 (4 px/lane).
+    Hpx/Wpx: real padded extents (chroma_rows/lane rounding can exceed
+    them with garbage; clamp in pixel space)."""
+    def fetch(s, yy, xx):
+        w = dpb_cp1[s, yy, xx >> 2]
+        sh = ((xx & 3) << 3).astype(jnp.uint32)
+        return ((w >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+
+    return _chroma_gather_core(fetch, Hpx, Wpx, slot, bx, by, mvx, mvy)
 
 
 def weight_uni_dev(pred, w, o, log_wd):
@@ -150,6 +202,31 @@ def weight_bi_dev(p0, p1, w0, w1, o0, o1, log_wd):
 
 
 def inter_predict_cells(abi, dpb_y4, dpb_cb, dpb_cr, blk, mb_w: int):
+    """Weighted quarter-pel MC for an arbitrary LIST of 4x4 cells over
+    DENSE planes (test oracle path; the pipeline uses the _packed
+    variant).  Returns (y [K,4,4], cb [K,2,2], cr [K,2,2]) i32."""
+    return _inter_cells_core(
+        abi, blk, mb_w,
+        functools.partial(luma_mc_gather, dpb_y4),
+        functools.partial(chroma_mc_blocks, dpb_cb),
+        functools.partial(chroma_mc_blocks, dpb_cr))
+
+
+def inter_predict_cells_packed(abi, dpb_y4p, dpb_cp, blk, mb_w: int,
+                               mb_h: int):
+    """Packed-DPB variant: dpb_y4p [S,4,Hp,L] u32, dpb_cp [S,2,Hcp,Lc]
+    u32 (models.pipeline.dpb_alloc layout) — no dense unpack anywhere."""
+    Wy = mb_w * 16 + 2 * PAD
+    Hc = mb_h * 8 + 2 * PADC
+    Wc = mb_w * 8 + 2 * PADC
+    return _inter_cells_core(
+        abi, blk, mb_w,
+        functools.partial(luma_mc_gather_packed, dpb_y4p, Wy),
+        functools.partial(chroma_mc_blocks_packed, dpb_cp[:, 0], Hc, Wc),
+        functools.partial(chroma_mc_blocks_packed, dpb_cp[:, 1], Hc, Wc))
+
+
+def _inter_cells_core(abi, blk, mb_w: int, luma_g, chroma_gb, chroma_gr):
     """Weighted quarter-pel MC for an arbitrary LIST of 4x4 cells.
 
     blk [K] i32: flat cell indices (mb * 16 + raster cell).  Shared core
@@ -175,12 +252,9 @@ def inter_predict_cells(abi, dpb_y4, dpb_cb, dpb_cr, blk, mb_w: int):
     preds_cb = []
     preds_cr = []
     for lst in range(2):
-        py = luma_mc_gather(dpb_y4, slot[:, lst], bx, by,
-                            mv[:, lst, 0], mv[:, lst, 1])
-        pcb = chroma_mc_blocks(dpb_cb, slot[:, lst], cx, cy,
-                               mv[:, lst, 0], mv[:, lst, 1])
-        pcr = chroma_mc_blocks(dpb_cr, slot[:, lst], cx, cy,
-                               mv[:, lst, 0], mv[:, lst, 1])
+        py = luma_g(slot[:, lst], bx, by, mv[:, lst, 0], mv[:, lst, 1])
+        pcb = chroma_gb(slot[:, lst], cx, cy, mv[:, lst, 0], mv[:, lst, 1])
+        pcr = chroma_gr(slot[:, lst], cx, cy, mv[:, lst, 0], mv[:, lst, 1])
         preds_y.append(py)
         preds_cb.append(pcb)
         preds_cr.append(pcr)
@@ -219,7 +293,19 @@ def inter_predict(abi, dpb_y4, dpb_cb, dpb_cr, mb_w: int, mb_h: int):
     n = mb_w * mb_h
     out_y, out_cb, out_cr = inter_predict_cells(
         abi, dpb_y4, dpb_cb, dpb_cr, jnp.arange(n * 16), mb_w)
+    return _cells_to_planes(out_y, out_cb, out_cr, mb_w, mb_h)
 
+
+def inter_predict_packed(abi, dpb_y4p, dpb_cp, mb_w: int, mb_h: int):
+    """Full-frame gather MC straight off the packed device DPB."""
+    n = mb_w * mb_h
+    out_y, out_cb, out_cr = inter_predict_cells_packed(
+        abi, dpb_y4p, dpb_cp, jnp.arange(n * 16), mb_w, mb_h)
+    return _cells_to_planes(out_y, out_cb, out_cr, mb_w, mb_h)
+
+
+def _cells_to_planes(out_y, out_cb, out_cr, mb_w: int, mb_h: int):
+    n = mb_w * mb_h
     from .transforms import blocks4_to_plane
     pred_y = blocks4_to_plane(out_y.reshape(n, 16, 4, 4), mb_w, mb_h)
     pcb_mb = out_cb.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
@@ -244,11 +330,26 @@ def patch_inter_pred(preds, abi, dpb_y4, dpb_cb, dpb_cr, patch,
     the spec gather path and scatters them into the prediction planes.
     Padding entries scatter out of bounds and are dropped.
     """
-    pred_y, pred_cb, pred_cr = preds
     valid = patch >= 0
     blk = jnp.where(valid, patch, 0)
-    out_y, out_cb, out_cr = inter_predict_cells(
-        abi, dpb_y4, dpb_cb, dpb_cr, blk, mb_w)
+    out = inter_predict_cells(abi, dpb_y4, dpb_cb, dpb_cr, blk, mb_w)
+    return _patch_scatter(preds, out, blk, valid, mb_w)
+
+
+def patch_inter_pred_packed(preds, abi, dpb_y4p, dpb_cp, patch,
+                            mb_w: int, mb_h: int):
+    """patch_inter_pred straight off the packed device DPB (no dense
+    unpack — the unpacked planes were a materialized gather operand,
+    ~55 MB per stream at 1080p, which OOMed the batch=32 e2e path)."""
+    valid = patch >= 0
+    blk = jnp.where(valid, patch, 0)
+    out = inter_predict_cells_packed(abi, dpb_y4p, dpb_cp, blk, mb_w, mb_h)
+    return _patch_scatter(preds, out, blk, valid, mb_w)
+
+
+def _patch_scatter(preds, out, blk, valid, mb_w: int):
+    pred_y, pred_cb, pred_cr = preds
+    out_y, out_cb, out_cr = out
     mbi = blk // 16
     cell = blk % 16
     bx = (mbi % mb_w) * 16 + (cell % 4) * 4

@@ -369,6 +369,14 @@ def run_all_stages() -> dict:
                       f"{'retrying' if attempt == 1 else 'giving up'}",
                       file=sys.stderr, flush=True)
                 continue
+            # full per-stage log for post-mortem (the inline tail below
+            # truncates OOM allocation dumps past usefulness)
+            try:
+                with open(f"/tmp/bench_stage_{name}_a{attempt}.log",
+                          "w") as f:
+                    f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
+            except OSError:
+                pass
             if r.returncode == 0 and r.stdout.strip():
                 vals.update(json.loads(r.stdout.strip().splitlines()[-1]))
                 break
