@@ -306,6 +306,7 @@ class Decoder:
         store_ref(slot, y, cb, cr): writes the picture into the device
         DPB slot (single-stream: pipeline.store_ref; batched: the
         stream's lane of the sharded store)."""
+        self.stats.frames += 1
         if self._gap_bumped:
             for planes in self._gap_bumped:
                 yield self._emit(planes)
@@ -345,7 +346,6 @@ class Decoder:
         t0 = time.perf_counter()
         y, cb, cr = pipeline.decode_frame(abi)   # device arrays (async)
         self.stats.device_dispatch_s += time.perf_counter() - t0
-        self.stats.frames += 1
         yield from self.commit(pic, poc, y, cb, cr, pipeline.n_slots,
                                pipeline.store_ref)
 

@@ -322,7 +322,7 @@ class BatchDecoder:
                 for i, j in new_fetch:
                     frames[i][j].start_fetch()
                 for i, j in in_flight:
-                    frames[i][j] = frames[i][j].finalize()
+                    frames[i][j] = self._finalize_timed(i, frames[i][j])
                 in_flight = new_fetch
             # parse the next round's pictures across host cores while the
             # device round above is still executing (pipeline overlap)
@@ -341,10 +341,20 @@ class BatchDecoder:
                     if isinstance(f, PendingFrame):
                         f.start_fetch()
             for i in range(B):
-                frames[i] = [f.finalize()
+                frames[i] = [self._finalize_timed(i, f)
                              if isinstance(f, PendingFrame) else f
                              for f in frames[i]]
         return frames
+
+    def _finalize_timed(self, i: int, pending):
+        """Materialize a deferred frame, attributing the device->host
+        sync to the lane's DecodeStats (deferred emission otherwise
+        leaves emit_sync_s at 0 and fps_wall overstates)."""
+        import time
+        t0 = time.perf_counter()
+        f = pending.finalize()
+        self.decoders[i].stats.emit_sync_s += time.perf_counter() - t0
+        return f
 
 
 def decode_batch_lockstep(fn, abis: list[dict], dpbs, slot_lists,
