@@ -417,21 +417,27 @@ class DevicePipeline:
             return {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
         from ..ops.wire import (
             conform_sections, flatten_wire, merge_specs, pack_wire,
-            unpack_fn,
+            spec_class, unpack_fn,
         )
         sec, spec = pack_wire(abi, self.mb_w, self.mb_h)
-        # sticky spec: once a section class has appeared, keep shipping
-        # it — the decode fn retraces per dict STRUCTURE (which keys the
-        # zero-omitting unpack produces), so a flapping spec would
-        # recompile the pipeline every time a coeff class (dis)appears
-        # between frames.  Sticky presence bounds that to a few growths.
-        self._spec = spec if getattr(self, "_spec", None) is None \
-            else merge_specs([self._spec, spec])
-        if self._spec != spec:
-            sec = conform_sections(sec, spec, self._spec, self.mb_w,
-                                   self.mb_h)
-        buf = flatten_wire(sec, self._spec, self.mb_w * self.mb_h)
-        return unpack_fn(self.mb_w, self.mb_h, self._spec)(jnp.asarray(buf))
+        # sticky spec PER CLASS: once a section class has appeared, keep
+        # shipping it — the decode fn retraces per dict STRUCTURE (which
+        # keys the zero-omitting unpack produces), so a flapping spec
+        # would recompile the pipeline every time a coeff class
+        # (dis)appears between frames.  Sticky presence bounds that to a
+        # few growths; bucketing by spec_class keeps the I-frames' dense
+        # schemes from poisoning every P/B frame's upload (ops.wire).
+        cls = spec_class(spec)
+        specs = getattr(self, "_specs", None)
+        if specs is None:
+            specs = self._specs = {}
+        specs[cls] = spec if cls not in specs \
+            else merge_specs([specs[cls], spec])
+        target = specs[cls]
+        if target != spec:
+            sec = conform_sections(sec, spec, target, self.mb_w, self.mb_h)
+        buf = flatten_wire(sec, target, self.mb_w * self.mb_h)
+        return unpack_fn(self.mb_w, self.mb_h, target)(jnp.asarray(buf))
 
     def decode_frame(self, abi: FrameABI):
         mode, slot_list, patch = self._select_inter_mode(abi)

@@ -432,6 +432,29 @@ def _bucket_max(entries):
     return max(bs)
 
 
+# dense-scheme section bytes per MB, per field (int16 dense; intra/inter/
+# pcm fixed-width rows).  Used by spec_class to weigh how much a dense
+# scheme actually costs on the wire.
+_DENSE_BYTES_PER_MB = {"l4": 16 * 16 * 2, "l8": 4 * 64 * 2,
+                       "ca": 8 * 16 * 2, "ldc": 16 * 2, "cdc": 8 * 2,
+                       "intra": 40, "inter": 64 * 2 + 64, "pcm": 384}
+
+
+def spec_class(spec) -> str:
+    """Coarse bucket for sticky-spec growth: a frame whose own pack needed
+    a BIG dense section (I-frames; the odd coefficient-heavy P frame)
+    must not poison the sticky spec of the common sparse frames — once a
+    big dense16 coefficient class enters a shared sticky spec, EVERY
+    later frame ships multi-MB dense sections over the host->HBM link
+    and pays a bm8->dense expansion on the host.  Small dense sections
+    (chroma/luma DC at <=32 B/MB) are cheaper shipped dense than worth a
+    second spec class.  One sticky spec per class bounds pipeline
+    retraces to (a few growths) x 2 classes."""
+    heavy = sum(_DENSE_BYTES_PER_MB.get(f, 0)
+                for f, s, _ in spec if _ORDER[s] >= 2)
+    return "dense" if heavy > 48 else "sparse"
+
+
 def merge_specs(specs):
     """Superset spec: per field the max scheme / bucket across streams."""
     out = []

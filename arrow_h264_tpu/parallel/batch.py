@@ -101,7 +101,7 @@ class BatchDecoder:
         self._store = sharded_store_fn(self.mesh, B)
         self._dummy = empty_frame_abi(mb_w, mb_h)
         self._use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
-        self._spec_sticky = None
+        self._spec_sticky: dict = {}   # ops.wire.spec_class -> merged spec
         self._gather_fn = None
         self.demotions = 0   # lane-rounds decoded via the per-lane
                              # gather fallback (observability + tests)
@@ -238,16 +238,22 @@ class BatchDecoder:
                 # (the tunnel's per-transfer latency makes one buffer
                 # per round as important as the byte count)
                 from ..ops.wire import (
-                    conform_sections, flatten_wire, merge_specs, unpack_fn,
+                    conform_sections, flatten_wire, merge_specs,
+                    spec_class, unpack_fn,
                 )
-                # sticky across rounds (see DevicePipeline.upload_abi):
-                # spec growth is monotone so the sharded decode fn's
-                # input structure settles after a few rounds instead of
-                # recompiling whenever a coeff class (dis)appears
+                # sticky across rounds PER CLASS (see
+                # DevicePipeline.upload_abi): spec growth is monotone
+                # within a class so the sharded decode fn's input
+                # structure settles after a few rounds instead of
+                # recompiling whenever a coeff class (dis)appears; the
+                # class split keeps I-frame rounds' dense schemes from
+                # poisoning every P/B round's upload (ops.wire.spec_class)
                 target = merge_specs(
-                    [wires[i][1] for i in live] + [self._dummy_wire[1]]
-                    + ([self._spec_sticky] if self._spec_sticky else []))
-                self._spec_sticky = target
+                    [wires[i][1] for i in live] + [self._dummy_wire[1]])
+                cls = spec_class(target)
+                if cls in self._spec_sticky:
+                    target = merge_specs([self._spec_sticky[cls], target])
+                self._spec_sticky[cls] = target
                 n = mb_w * mb_h
                 bufs = [
                     flatten_wire(

@@ -127,7 +127,7 @@ def bench_host(datas):
     from arrow_h264_tpu.api import Decoder
     from arrow_h264_tpu.models.pipeline import select_inter_mode
     from arrow_h264_tpu.ops.wire import (
-        conform_sections, flatten_wire, merge_specs, pack_wire,
+        conform_sections, flatten_wire, merge_specs, pack_wire, spec_class,
     )
     zero = (np.zeros((H, W), np.uint8), np.zeros((H // 2, W // 2), np.uint8),
             np.zeros((H // 2, W // 2), np.uint8))
@@ -135,7 +135,7 @@ def bench_host(datas):
     t0 = time.perf_counter()
     for data in datas:
         dec = Decoder(entropy="cpp")
-        spec_sticky = None
+        spec_sticky: dict = {}
         for pic, poc in dec.parse_pictures(data):
             mb_w = pic.sps.pic_width_in_mbs
             mb_h = pic.sps.pic_height_in_map_units
@@ -143,11 +143,13 @@ def bench_host(datas):
             _mode, _sl, patch = select_inter_mode(abi, mb_w, mb_h)
             abi["patch"] = patch
             sec, spec = pack_wire(abi, mb_w, mb_h)
-            spec_sticky = spec if spec_sticky is None \
-                else merge_specs([spec_sticky, spec])
-            if spec_sticky != spec:
-                sec = conform_sections(sec, spec, spec_sticky, mb_w, mb_h)
-            flatten_wire(sec, spec_sticky, mb_w * mb_h)
+            cls = spec_class(spec)
+            spec_sticky[cls] = spec if cls not in spec_sticky \
+                else merge_specs([spec_sticky[cls], spec])
+            if spec_sticky[cls] != spec:
+                sec = conform_sections(sec, spec, spec_sticky[cls],
+                                       mb_w, mb_h)
+            flatten_wire(sec, spec_sticky[cls], mb_w * mb_h)
             list(dec.commit(pic, poc, *zero, 4, lambda *a: None))
             n += 1
     return n / (time.perf_counter() - t0)

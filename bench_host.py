@@ -30,7 +30,7 @@ def main() -> None:
     from arrow_h264_tpu.host.centropy import gil_meter
     from arrow_h264_tpu.models.pipeline import select_inter_mode
     from arrow_h264_tpu.ops.wire import (
-        conform_sections, flatten_wire, merge_specs, pack_wire,
+        conform_sections, flatten_wire, merge_specs, pack_wire, spec_class,
     )
 
     import numpy as np
@@ -49,7 +49,7 @@ def main() -> None:
         gen = dec.parse_pictures(data)
         gil_meter.enabled = True
         gil_meter.reset()
-        spec_sticky = None
+        spec_sticky: dict = {}
         t0 = time.perf_counter()
         n = 0
         for pic, poc in gen:
@@ -59,11 +59,13 @@ def main() -> None:
             mode, sl, patch = select_inter_mode(abi, mb_w, mb_h)
             abi["patch"] = patch
             sec, spec = pack_wire(abi, mb_w, mb_h)
-            spec_sticky = spec if spec_sticky is None \
-                else merge_specs([spec_sticky, spec])
-            if spec_sticky != spec:
-                sec = conform_sections(sec, spec, spec_sticky, mb_w, mb_h)
-            flatten_wire(sec, spec_sticky, mb_w * mb_h)
+            cls = spec_class(spec)
+            spec_sticky[cls] = spec if cls not in spec_sticky \
+                else merge_specs([spec_sticky[cls], spec])
+            if spec_sticky[cls] != spec:
+                sec = conform_sections(sec, spec, spec_sticky[cls],
+                                       mb_w, mb_h)
+            flatten_wire(sec, spec_sticky[cls], mb_w * mb_h)
             list(dec.commit(pic, poc, *zero, 4, lambda *a: None))
             n += 1
         dt = time.perf_counter() - t0
