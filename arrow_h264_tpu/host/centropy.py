@@ -79,13 +79,16 @@ def load_lib(sanitize: bool | None = None, trace: bool = False):
     trace=True builds with -DH264E_TRACE: every syntax-element read is
     recorded into a caller-provided buffer with the same records the
     Python TracingBitReader produces (--trace-se on the C++ engine).
+    ARROW_H264_STATS=1 builds with -DH264E_STATS (per-section rdtsc
+    counters; read with read_stats()) for performance attribution.
     Each variant is a separate .so so they coexist; the load cache is
     keyed by the flags.
     """
     if sanitize is None:
         sanitize = os.environ.get("ARROW_H264_SANITIZE") == "1"
-    if (sanitize, trace) in _libs:
-        return _libs[(sanitize, trace)]
+    stats = os.environ.get("ARROW_H264_STATS") == "1"
+    if (sanitize, trace, stats) in _libs:
+        return _libs[(sanitize, trace, stats)]
     lib_path = _LIB_PATH
     flags = ["-O3", "-march=native", "-funroll-loops"]
     if sanitize:
@@ -95,6 +98,9 @@ def load_lib(sanitize: bool | None = None, trace: bool = False):
     if trace:
         lib_path = lib_path.with_name(lib_path.stem + "_trace.so")
         flags = flags + ["-DH264E_TRACE"]
+    if stats:
+        lib_path = lib_path.with_name(lib_path.stem + "_stats.so")
+        flags = flags + ["-DH264E_STATS"]
     newest_src = max(p.stat().st_mtime for p in _SRC if p.exists())
     if not lib_path.exists() or lib_path.stat().st_mtime < newest_src:
         subprocess.run(
@@ -145,8 +151,24 @@ def load_lib(sanitize: bool | None = None, trace: bool = False):
         lib.h264e_trace_count.restype = C.c_long
         lib.h264e_trace_count.argtypes = []
     assert lib.h264e_abi_version() == ABI_VERSION
-    _libs[(sanitize, trace)] = lib
+    if stats:
+        lib.h264e_stats.restype = C.POINTER(C.c_uint64 * 12)
+        lib.h264e_stats.argtypes = []
+    _libs[(sanitize, trace, stats)] = lib
     return lib
+
+
+_STATS_FIELDS = ("decisions", "bypasses", "blocks", "coeffs", "mbs",
+                 "sig_iters", "t_resid", "t_scatter", "t_motion",
+                 "t_total", "t_skip", "t_tail")
+
+
+def read_stats() -> dict:
+    """Counters from the -DH264E_STATS build (ARROW_H264_STATS=1);
+    t_* fields are rdtsc cycle sums."""
+    lib = load_lib()
+    vals = lib.h264e_stats().contents
+    return dict(zip(_STATS_FIELDS, vals))
 
 
 def scan_rows32(src2d: np.ndarray, cap: int):

@@ -416,10 +416,9 @@ class DevicePipeline:
         if os.environ.get("ARROW_H264_WIRE") == "0":
             return {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
         from ..ops.wire import (
-            conform_sections, flatten_wire, merge_specs, pack_wire,
-            spec_class, unpack_fn,
+            emit_wire, merge_specs, pack_wire_raw, spec_class, unpack_fn,
         )
-        sec, spec = pack_wire(abi, self.mb_w, self.mb_h)
+        raw, spec = pack_wire_raw(abi, self.mb_w, self.mb_h)
         # sticky spec PER CLASS: once a section class has appeared, keep
         # shipping it — the decode fn retraces per dict STRUCTURE (which
         # keys the zero-omitting unpack produces), so a flapping spec
@@ -434,9 +433,7 @@ class DevicePipeline:
         specs[cls] = spec if cls not in specs \
             else merge_specs([specs[cls], spec])
         target = specs[cls]
-        if target != spec:
-            sec = conform_sections(sec, spec, target, self.mb_w, self.mb_h)
-        buf = flatten_wire(sec, target, self.mb_w * self.mb_h)
+        buf = emit_wire(raw, spec, target, self.mb_w * self.mb_h)
         return unpack_fn(self.mb_w, self.mb_h, target)(jnp.asarray(buf))
 
     def decode_frame(self, abi: FrameABI):

@@ -306,6 +306,335 @@ def _pack_inter(abi, n: int, sec: dict, scan_inter):
     return ("inter", "base", b)
 
 
+# ---------------------------------------------------------------------------
+# raw pack + direct emit (the shipped hot path): scans produce COMPACT
+# records (k rows, no bucket padding), and emit_wire writes every section
+# straight into the final upload buffer at its spec offset — one
+# allocation, one copy per section, conforming to a bigger target spec
+# for free (pad space is just buffer zeros + idx sentinels).  The
+# sections-dict API below (pack_wire/conform_sections/flatten_wire)
+# remains as the readable reference implementation; emit_wire is
+# differential-tested byte-equal against it (tests/test_wire.py).
+# ---------------------------------------------------------------------------
+
+def pack_wire_raw(abi, mb_w: int, mb_h: int):
+    """Dense numpy ABI -> (raw records dict, own spec tuple).
+
+    raw["<field>"] holds compact scan outputs (first-k rows only);
+    emit_wire(raw, target, n) renders the single upload buffer."""
+    n = mb_w * mb_h
+    raw: dict = {}
+    spec = []
+    sec: dict = {}
+    _pack_meta(abi, n, sec)
+    raw["meta6"] = sec["meta6"]
+    raw["slice8"] = sec["slice8"]
+
+    # intra (same candidate logic as _pack_intra, kept compact)
+    i4m = np.asarray(abi["i4_modes"])
+    i4a = np.asarray(abi["i4_avail"])
+    i8m = np.asarray(abi["i8_modes"])
+    i8a = np.asarray(abi["i8_avail"])
+    cand = (i4m.any(axis=1) | i4a.reshape(n, -1).any(axis=1)
+            | i8m.any(axis=1) | i8a.reshape(n, -1).any(axis=1))
+    rows = np.nonzero(cand)[0]
+    k = len(rows)
+    if k == 0:
+        spec.append(("intra", "zero", 0))
+    else:
+        sel = slice(None) if _bucket(k, n) >= n else rows
+        m = n if isinstance(sel, slice) else k
+        ext = np.empty((m, 40), np.uint8)
+        ext[:, 0:16] = i4m[sel]
+        ext[:, 16:32] = np.packbits(i4a[sel].astype(np.uint8), axis=2,
+                                    bitorder="little").reshape(m, 16)
+        ext[:, 32:36] = i8m[sel]
+        ext[:, 36:40] = np.packbits(i8a[sel].astype(np.uint8), axis=2,
+                                    bitorder="little").reshape(m, 4)
+        if m == n:
+            spec.append(("intra", "dense", 0))
+            raw["in_ext"] = ext
+        else:
+            spec.append(("intra", "sparse", _bucket(k, n)))
+            raw["in_idx"] = rows.astype(np.int32)
+            raw["in_ext"] = ext
+
+    # inter
+    from .abi import KIND_P
+    if not (np.asarray(abi["kind"]) >= KIND_P).any():
+        spec.append(("inter", "zero", 0))
+    else:
+        mv = np.ascontiguousarray(abi["mv"], np.int32)
+        ridx = np.ascontiguousarray(abi["refidx"], np.int32)
+        rslot = np.ascontiguousarray(abi["refslot"], np.int32)
+        nx = abi.get("nx_uids")
+        if nx is not None and len(nx):
+            rslot = np.where(np.isin(np.asarray(abi["refid"]), nx),
+                             rslot | NX_FLAG, rslot)
+        cap = n // 2 + 1
+        try:
+            from ..host.centropy import scan_inter
+        except Exception:
+            scan_inter = None
+        if scan_inter is not None:
+            k, mv_base, ref_base, idx_buf, mv_nu, ref_nu = \
+                scan_inter(mv.reshape(n, 64), ridx.reshape(n, 32),
+                           rslot.reshape(n, 32), cap)
+        else:
+            mvr = mv.reshape(n, 16, 4)
+            rir = ridx.reshape(n, 16, 2)
+            rsr = rslot.reshape(n, 16, 2)
+            uni = ((mvr == mvr[:, :1]).all((1, 2))
+                   & (rir == rir[:, :1]).all((1, 2))
+                   & (rsr == rsr[:, :1]).all((1, 2)))
+            idx_buf = np.nonzero(~uni)[0]
+            k = len(idx_buf)
+            mv_base = mvr[:, 0].astype(np.int16)
+            ref_base = np.concatenate(
+                [rir[:, 0], rsr[:, 0]], axis=1).astype(np.int8)
+            mv_nu = mvr[idx_buf[:cap]].reshape(-1, 64).astype(np.int16)
+            ref_nu = np.concatenate(
+                [rir[idx_buf[:cap]].reshape(-1, 32),
+                 rsr[idx_buf[:cap]].reshape(-1, 32)], axis=1) \
+                .astype(np.int8)
+        if k >= cap:
+            spec.append(("inter", "dense", 0))
+            raw["mv16"] = mv.reshape(n, 64)
+            raw["ref8_idx"] = ridx.reshape(n, 32)
+            raw["ref8_slot"] = rslot.reshape(n, 32)
+        else:
+            spec.append(("inter", "base",
+                         _bucket(k, cap) if k else 0))
+            raw["mv_base"] = mv_base
+            raw["ref_base"] = ref_base
+            if k:
+                raw["nu_idx"] = np.asarray(idx_buf[:k], np.int32)
+                raw["nu_mv"] = mv_nu[:k]
+                raw["nu_ref"] = ref_nu[:k]
+            raw["nu_k"] = k
+
+    try:
+        from ..host.centropy import scan_blocks8
+    except Exception:
+        scan_blocks8 = None
+    for f, key, cpm, w in _COEFF_FIELDS:
+        grid = n * cpm
+        src = np.ascontiguousarray(abi[key], np.int32).reshape(grid, w)
+        cap_r = grid // 2 + 1
+        cap_v = grid * w // 4 + 1
+        if scan_blocks8 is not None:
+            k, idx_buf, bm_buf, val_buf, nnz, ovf = \
+                scan_blocks8(src, cap_r, cap_v)
+        else:
+            mask = src != 0
+            rows = np.nonzero(mask.any(axis=1))[0]
+            k = len(rows)
+            idx_buf = rows
+            sel = mask[rows[:cap_r]]
+            bmw = (w + 15) // 16
+            padded = np.zeros((sel.shape[0], bmw * 16), np.uint16)
+            padded[:, :w] = sel
+            bm_buf = (padded.reshape(-1, bmw, 16)
+                      << np.arange(16, dtype=np.uint16)).sum(
+                          axis=2, dtype=np.uint16)
+            blocks = src[rows[:cap_r]]
+            flat = blocks[sel]
+            nnz = flat.size
+            ovf = bool(nnz) and (flat.min() < -128 or flat.max() > 127
+                                 or nnz > cap_v)
+            val_buf = flat[:cap_v].astype(np.int8)
+        if k == 0:
+            spec.append((f, "zero", 0))
+            continue
+        if k >= cap_r or ovf:
+            a16 = src.astype(np.int16)
+            if np.array_equal(a16, src):
+                spec.append((f, "dense16", 0))
+                raw[f + "_src16"] = a16
+            else:
+                spec.append((f, "dense", 0))
+                raw[f + "_src"] = src
+            continue
+        spec.append((f, "bm8", (_bucket(k, grid),
+                                _bucket(nnz, grid * w, lo=128))))
+        raw[f + "_idx"] = np.asarray(idx_buf[:k], np.int32)
+        raw[f + "_bm"] = bm_buf[:k]
+        raw[f + "_val"] = val_buf[:nnz]
+        raw[f + "_nnz"] = nnz
+
+    from .abi import KIND_IPCM
+    kind = np.asarray(abi["kind"])
+    rows = np.nonzero(kind == KIND_IPCM)[0]
+    if len(rows) == 0:
+        spec.append(("pcm", "zero", 0))
+    else:
+        src = np.asarray(abi["pcm"], np.uint8).reshape(n, 384)
+        k = len(rows)
+        b = _bucket(k, n, lo=1)
+        if b >= n:
+            spec.append(("pcm", "dense", 0))
+            raw["pcm_val"] = src
+        else:
+            spec.append(("pcm", "sparse", b))
+            raw["pcm_idx"] = rows.astype(np.int32)
+            raw["pcm_val"] = src[rows]
+
+    wt = np.asarray(abi["wtab"])
+    ident = identity_wtab()
+    rows = np.nonzero((wt != ident).any(axis=(1, 2, 3, 4)))[0]
+    if len(rows) == 0:
+        spec.append(("wtab", "zero", 0))
+    else:
+        k = len(rows)
+        b = _bucket(k, MAX_SLICES, lo=1)
+        spec.append(("wtab", "sparse", b))
+        raw["wt_idx"] = rows[:b].astype(np.int32)
+        raw["wt_val"] = wt[rows[:b]].reshape(-1, _WTAB_COLS) \
+            .astype(np.int16)
+
+    pt = abi.get("patch")
+    k = 0 if pt is None else int((np.asarray(pt) >= 0).sum())
+    if k == 0:
+        spec.append(("patch", "zero", 0))
+    else:
+        pt = np.asarray(pt, np.int32)
+        spec.append(("patch", "sparse", _bucket(k, len(pt))))
+        raw["pt_idx"] = pt[:k]
+    return raw, tuple(spec)
+
+
+def emit_wire(raw, spec, target, n: int) -> np.ndarray:
+    """Raw records (own `spec`) -> ONE uint8 buffer laid out per
+    `target` (a superset spec from merge_specs, or spec itself).
+    Byte-equal to flatten_wire(conform_sections(sections, spec, target))
+    by construction (differential-tested)."""
+    table, total = _offsets(target, n)
+    buf = np.zeros(total, np.uint8)
+
+    def view(name):
+        off, dt, shape = table[name]
+        nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+        return buf[off:off + nbytes].view(dt).reshape(shape)
+
+    view("meta6")[:] = raw["meta6"]
+    view("slice8")[:] = raw["slice8"]
+    sd = dict((f, (s, b)) for f, s, b in spec)
+    td = dict((f, (s, b)) for f, s, b in target)
+
+    sch, b = sd["intra"]
+    tsch, tb = td["intra"]
+    if tsch == "dense":
+        if sch == "sparse":
+            view("in_ext")[raw["in_idx"]] = raw["in_ext"]
+        elif sch == "dense":
+            view("in_ext")[:] = raw["in_ext"]
+    elif tsch == "sparse":
+        idx = view("in_idx")
+        idx[:] = n
+        if sch == "sparse":
+            k = len(raw["in_idx"])
+            idx[:k] = raw["in_idx"]
+            view("in_ext")[:k] = raw["in_ext"]
+
+    sch, b = sd["inter"]
+    tsch, tb = td["inter"]
+    if tsch == "dense":
+        mv16 = view("mv16")
+        ref8 = view("ref8")
+        if sch == "dense":
+            mv16[:] = raw["mv16"]
+            ref8[:, :32] = raw["ref8_idx"]
+            ref8[:, 32:] = raw["ref8_slot"]
+        elif sch == "base":
+            mv16[:] = np.tile(raw["mv_base"], 16)
+            rb = raw["ref_base"]
+            ref8[:, :32] = np.repeat(rb[:, 0:2], 16, axis=0) \
+                .reshape(n, 32)
+            ref8[:, 32:] = np.repeat(rb[:, 2:4], 16, axis=0) \
+                .reshape(n, 32)
+            if raw.get("nu_k"):
+                k = raw["nu_k"]
+                mv16[raw["nu_idx"]] = raw["nu_mv"]
+                ref8[raw["nu_idx"]] = raw["nu_ref"]
+        else:  # zero
+            ref8[:] = -1
+    elif tsch == "base":
+        rbv = view("ref_base")
+        if sch == "base":
+            view("mv_base")[:] = raw["mv_base"]
+            rbv[:] = raw["ref_base"]
+        else:  # zero
+            rbv[:] = -1
+        if tb:
+            idx = view("nu_idx")
+            idx[:] = n
+            if sch == "base" and raw.get("nu_k"):
+                k = raw["nu_k"]
+                idx[:k] = raw["nu_idx"]
+                view("nu_mv")[:k] = raw["nu_mv"]
+                view("nu_ref")[:k] = raw["nu_ref"]
+
+    for f, _key, cpm, w in _COEFF_FIELDS:
+        grid = n * cpm
+        sch, b = sd[f]
+        tsch, tb = td[f]
+        if tsch == "zero":
+            continue
+        if tsch in ("dense", "dense16"):
+            dv = view(f + "_dense")
+            if sch == "bm8":
+                dv[:] = _expand_bm8_np(raw[f + "_idx"], raw[f + "_bm"],
+                                       raw[f + "_val"], grid, w)
+            elif sch in ("dense", "dense16"):
+                dv[:] = raw.get(f + "_src16", raw.get(f + "_src"))
+        else:  # bm8 target
+            idx = view(f + "_idx")
+            idx[:] = grid
+            if sch == "bm8":
+                k = len(raw[f + "_idx"])
+                idx[:k] = raw[f + "_idx"]
+                view(f + "_bm")[:k] = raw[f + "_bm"]
+                view(f + "_val")[:raw[f + "_nnz"]] = raw[f + "_val"]
+
+    sch, b = sd["pcm"]
+    tsch, tb = td["pcm"]
+    if tsch == "dense":
+        if sch == "sparse":
+            view("pcm_val")[raw["pcm_idx"]] = raw["pcm_val"]
+        elif sch == "dense":
+            view("pcm_val")[:] = raw["pcm_val"]
+    elif tsch == "sparse":
+        idx = view("pcm_idx")
+        idx[:] = n
+        if sch == "sparse":
+            k = len(raw["pcm_idx"])
+            idx[:k] = raw["pcm_idx"]
+            view("pcm_val")[:k] = raw["pcm_val"]
+        elif sch == "dense":
+            # own dense cannot conform DOWN to sparse (merge_specs never
+            # shrinks a scheme), so this case is unreachable
+            raise AssertionError("pcm dense -> sparse")
+
+    tsch, tb = td["wtab"]
+    if tsch == "sparse":
+        idx = view("wt_idx")
+        idx[:] = MAX_SLICES
+        if sd["wtab"][0] == "sparse":
+            k = len(raw["wt_idx"])
+            idx[:k] = raw["wt_idx"]
+            view("wt_val")[:k] = raw["wt_val"]
+
+    if "patch" in td:
+        tsch, tb = td["patch"]
+        if tsch == "sparse":
+            idx = view("pt_idx")
+            idx[:] = -1
+            if sd["patch"][0] == "sparse":
+                k = len(raw["pt_idx"])
+                idx[:k] = raw["pt_idx"]
+    return buf
+
+
 def pack_wire(abi, mb_w: int, mb_h: int):
     """Host side: dense numpy ABI -> (sections dict, spec tuple)."""
     n = mb_w * mb_h

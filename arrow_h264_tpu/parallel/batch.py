@@ -106,8 +106,8 @@ class BatchDecoder:
         self.demotions = 0   # lane-rounds decoded via the per-lane
                              # gather fallback (observability + tests)
         if self._use_wire:
-            from ..ops.wire import pack_wire
-            self._dummy_wire = pack_wire(self._dummy, mb_w, mb_h)
+            from ..ops.wire import pack_wire_raw
+            self._dummy_wire = pack_wire_raw(self._dummy, mb_w, mb_h)
 
     def _decode_fn(self, mode: str):
         if mode not in self._fns:
@@ -127,10 +127,8 @@ class BatchDecoder:
                 ws4=jnp.asarray(self._ws[0]), ws8=jnp.asarray(self._ws[1]),
                 cqp_off=self._cqp, inter_mode="gather"))
         if wire is not None:
-            from ..ops.wire import conform_sections, flatten_wire, unpack_fn
-            buf = flatten_wire(
-                conform_sections(*wire, target, mb_w, mb_h),
-                target, mb_w * mb_h)
+            from ..ops.wire import emit_wire, unpack_fn
+            buf = emit_wire(*wire, target, mb_w * mb_h)
             dev = unpack_fn(mb_w, mb_h, target)(jnp.asarray(buf))
         else:
             dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
@@ -184,8 +182,8 @@ class BatchDecoder:
                 mode, sl, patch = select_inter_mode(abi, mb_w, mb_h)
                 abi["patch"] = patch
                 if use_wire:
-                    from ..ops.wire import pack_wire
-                    ws = pack_wire(abi, mb_w, mb_h)
+                    from ..ops.wire import pack_wire_raw
+                    ws = pack_wire_raw(abi, mb_w, mb_h)
                     return i, (abi, ws, mode, sl)
                 return i, (abi, None, mode, sl)
             except Exception as e:
@@ -238,8 +236,7 @@ class BatchDecoder:
                 # (the tunnel's per-transfer latency makes one buffer
                 # per round as important as the byte count)
                 from ..ops.wire import (
-                    conform_sections, flatten_wire, merge_specs,
-                    spec_class, unpack_fn,
+                    emit_wire, merge_specs, spec_class, unpack_fn,
                 )
                 # sticky across rounds PER CLASS (see
                 # DevicePipeline.upload_abi): spec growth is monotone
@@ -256,11 +253,9 @@ class BatchDecoder:
                 self._spec_sticky[cls] = target
                 n = mb_w * mb_h
                 bufs = [
-                    flatten_wire(
-                        conform_sections(
-                            *(wires[i] if i in wires and i not in demoted
-                              else self._dummy_wire),
-                            target, mb_w, mb_h),
+                    emit_wire(
+                        *(wires[i] if i in wires and i not in demoted
+                          else self._dummy_wire),
                         target, n)
                     for i in range(B)]
                 batchw = jax.device_put(jnp.asarray(np.stack(bufs)),

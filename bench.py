@@ -127,7 +127,7 @@ def bench_host(datas):
     from arrow_h264_tpu.api import Decoder
     from arrow_h264_tpu.models.pipeline import select_inter_mode
     from arrow_h264_tpu.ops.wire import (
-        conform_sections, flatten_wire, merge_specs, pack_wire, spec_class,
+        emit_wire, merge_specs, pack_wire_raw, spec_class,
     )
     zero = (np.zeros((H, W), np.uint8), np.zeros((H // 2, W // 2), np.uint8),
             np.zeros((H // 2, W // 2), np.uint8))
@@ -142,14 +142,11 @@ def bench_host(datas):
             abi = dec.pack_abi(pic, poc)
             _mode, _sl, patch = select_inter_mode(abi, mb_w, mb_h)
             abi["patch"] = patch
-            sec, spec = pack_wire(abi, mb_w, mb_h)
+            raw, spec = pack_wire_raw(abi, mb_w, mb_h)
             cls = spec_class(spec)
             spec_sticky[cls] = spec if cls not in spec_sticky \
                 else merge_specs([spec_sticky[cls], spec])
-            if spec_sticky[cls] != spec:
-                sec = conform_sections(sec, spec, spec_sticky[cls],
-                                       mb_w, mb_h)
-            flatten_wire(sec, spec_sticky[cls], mb_w * mb_h)
+            emit_wire(raw, spec, spec_sticky[cls], mb_w * mb_h)
             list(dec.commit(pic, poc, *zero, 4, lambda *a: None))
             n += 1
     return n / (time.perf_counter() - t0)

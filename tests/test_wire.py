@@ -196,3 +196,50 @@ def test_decode_matches_dense_upload(monkeypatch):
     monkeypatch.setenv("ARROW_H264_WIRE", "1")
     got = [f.planar() for f in Decoder().decode_annexb(data)]
     assert len(ref) == len(got) and ref == got
+
+
+def test_emit_wire_matches_sections_path():
+    """The shipped raw+emit path (pack_wire_raw/emit_wire) must be
+    byte-equal to the reference sections path (pack_wire ->
+    conform_sections -> flatten_wire) for every own->target scheme
+    combination the merge lattice can produce."""
+    from arrow_h264_tpu.ops.wire import emit_wire, pack_wire_raw
+
+    n = MB_W * MB_H
+    abis = [
+        empty_frame_abi(MB_W, MB_H),                     # all-zero
+        synthetic_abi_p(MB_W, MB_H, seed=3, n_slots=2),  # P mix
+        synthetic_abi_p(MB_W, MB_H, seed=9, n_slots=2),  # another mix
+    ]
+    # an intra-heavy ABI: dense intra + dense16 coeffs
+    heavy = synthetic_abi_p(MB_W, MB_H, seed=5, n_slots=2)
+    heavy["kind"] = np.zeros(n, np.int32)            # all I4
+    heavy["i4_modes"] = np.full((n, 16), 2, np.int32)
+    rng = np.random.default_rng(0)
+    heavy["luma4"] = rng.integers(-100, 100, (n, 16, 4, 4)).astype(np.int32)
+    heavy["refidx"] = np.full((n, 4, 4, 2), -1, np.int32)
+    heavy["refslot"] = np.full((n, 4, 4, 2), -1, np.int32)
+    heavy["refid"] = np.full((n, 4, 4, 2), -1, np.int32)
+    heavy["mv"] = np.zeros((n, 4, 4, 2, 2), np.int32)
+    abis.append(heavy)
+
+    specs, raws, secs = [], [], []
+    for a in abis:
+        sec, spec = pack_wire(a, MB_W, MB_H)
+        raw, spec_r = pack_wire_raw(a, MB_W, MB_H)
+        assert spec_r == spec
+        specs.append(spec)
+        raws.append(raw)
+        secs.append(sec)
+    # own spec == target (no conforming)
+    for sec, raw, spec in zip(secs, raws, specs):
+        ref = flatten_wire(sec, spec, n)
+        got = emit_wire(raw, spec, spec, n)
+        assert np.array_equal(ref, got)
+    # conform every ABI up to the merged superset
+    target = merge_specs(specs)
+    for sec, raw, spec in zip(secs, raws, specs):
+        ref = flatten_wire(conform_sections(sec, spec, target, MB_W, MB_H),
+                           target, n)
+        got = emit_wire(raw, spec, target, n)
+        assert np.array_equal(ref, got)
