@@ -552,7 +552,7 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
         deblock_off=np.zeros(pic.mb_w * pic.mb_h, np.int32),
         mv=a["mv"],
         refid=a["refid"], refslot=a["refslot"], refidx=a["refidx"],
-        wtab=identity_wtab(),
+        wtab=identity_wtab().copy(),
         slogwd=np.zeros((MAX_SLICES, 2), np.int32),
         patch=np.full(patch_capacity(pic.mb_w, pic.mb_h), -1, np.int32),
         mb_w=pic.mb_w, mb_h=pic.mb_h,

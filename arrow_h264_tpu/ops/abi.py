@@ -74,12 +74,21 @@ def patch_capacity(mb_w: int, mb_h: int) -> int:
     return max(256, mb_w * mb_h)
 
 
+_IDENTITY_WTAB: np.ndarray | None = None
+
+
 def identity_wtab() -> np.ndarray:
-    """[MAX_SLICES,33,33,3,4] int16 all-identity weight table."""
-    w = np.zeros((MAX_SLICES, 33, 33, 3, 4), np.int16)
-    w[..., 0] = 1
-    w[..., 2] = 1
-    return w
+    """[MAX_SLICES,33,33,3,4] int16 all-identity weight table (a cached
+    read-only singleton — rebuilding the 840 KB table cost ~0.7 ms per
+    frame on the wire pack path; callers that mutate must copy)."""
+    global _IDENTITY_WTAB
+    if _IDENTITY_WTAB is None:
+        w = np.zeros((MAX_SLICES, 33, 33, 3, 4), np.int16)
+        w[..., 0] = 1
+        w[..., 2] = 1
+        w.setflags(write=False)
+        _IDENTITY_WTAB = w
+    return _IDENTITY_WTAB
 
 _CAT_TO_KIND = {MB_I4x4: KIND_I4x4, MB_I8x8: KIND_I8x8,
                 MB_I16x16: KIND_I16, MB_IPCM: KIND_IPCM,
@@ -141,7 +150,7 @@ def empty_frame_abi(mb_w: int, mb_h: int) -> FrameABI:
         refid=np.full((n, 4, 4, 2), -1, np.int32),
         refslot=np.full((n, 4, 4, 2), -1, np.int32),
         refidx=np.full((n, 4, 4, 2), -1, np.int32),
-        wtab=identity_wtab(),
+        wtab=identity_wtab().copy(),
         slogwd=np.zeros((MAX_SLICES, 2), np.int32),
         patch=np.full(patch_capacity(mb_w, mb_h), -1, np.int32),
         mb_w=mb_w, mb_h=mb_h,

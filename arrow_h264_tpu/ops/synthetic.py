@@ -42,7 +42,7 @@ def synthetic_abi(mb_w: int, mb_h: int, seed: int = 0,
         refid=np.full((n, 4, 4, 2), -1, np.int32),
         refslot=np.full((n, 4, 4, 2), -1, np.int32),
         refidx=np.full((n, 4, 4, 2), -1, np.int32),
-        wtab=identity_wtab(),
+        wtab=identity_wtab().copy(),
         slogwd=np.zeros((MAX_SLICES, 2), np.int32),
         patch=np.full(patch_capacity(mb_w, mb_h), -1, np.int32),
         mb_w=mb_w, mb_h=mb_h,
