@@ -152,7 +152,7 @@ def load_lib(sanitize: bool | None = None, trace: bool = False):
         lib.h264e_trace_count.argtypes = []
     assert lib.h264e_abi_version() == ABI_VERSION
     if stats:
-        lib.h264e_stats.restype = C.POINTER(C.c_uint64 * 12)
+        lib.h264e_stats.restype = C.POINTER(C.c_uint64 * 14)
         lib.h264e_stats.argtypes = []
     _libs[(sanitize, trace, stats)] = lib
     return lib
@@ -160,7 +160,7 @@ def load_lib(sanitize: bool | None = None, trace: bool = False):
 
 _STATS_FIELDS = ("decisions", "bypasses", "blocks", "coeffs", "mbs",
                  "sig_iters", "t_resid", "t_scatter", "t_motion",
-                 "t_total", "t_skip", "t_tail")
+                 "t_total", "t_skip", "t_tail", "t_imb", "t_presid")
 
 
 def read_stats() -> dict:

@@ -37,6 +37,7 @@
 struct H264eStats {
   uint64_t decisions, bypasses, blocks, coeffs, mbs, sig_iters;
   uint64_t t_resid, t_scatter, t_motion, t_total, t_skip, t_tail;
+  uint64_t t_imb, t_presid;   // parse_i_mb; parse_residual incl. glue
 };
 static H264eStats g_h264e_stats;
 extern "C" H264eStats* h264e_stats() { return &g_h264e_stats; }
