@@ -145,14 +145,10 @@ def parse_sps(rbsp: bytes) -> SPS:
             r.u1()  # separate_colour_plane_flag
         s.bit_depth_luma = r.ue() + 8
         s.bit_depth_chroma = r.ue() + 8
+        # FRExt lossless mode (QP'=0 transform bypass + DPCM intra, spec
+        # 8.5.15 / 8.3.5) — decoded by the residual stage
+        # (ops.transforms.residual_planes bypass=True)
         s.qpprime_y_zero_transform_bypass_flag = r.u1()
-        if s.qpprime_y_zero_transform_bypass_flag:
-            # FRExt lossless mode (QP'=0 transform bypass + DPCM intra,
-            # spec 8.5.15 / 8.3.5): explicit scope reject — decoding such
-            # a stream without the bypass path would be silently wrong
-            raise NotImplementedError(
-                "qpprime_y_zero_transform_bypass_flag=1 (lossless "
-                "transform bypass) is not supported")
         s.seq_scaling_matrix_present_flag = r.u1()
         if s.seq_scaling_matrix_present_flag:
             n_lists = 8 if s.chroma_format_idc != 3 else 12

@@ -132,11 +132,16 @@ class CabacDecoder:
         return 0
 
     def flush(self) -> None:
-        """DecodeFlush (9.3.3.2.5), called after terminate==1 before PCM."""
-        self.cod_range = 2
-        while self.cod_range < 256:
-            self.cod_range <<= 1
-            self.cod_offset = (self.cod_offset << 1) | self.r.u1()
+        """Position the bitreader for the I_PCM payload.
+
+        After the mb_type terminate bin decodes 1 WITHOUT renormalization
+        (9.3.3.2.4 binVal=1), the engine's last-read bit is one past the
+        end of the CABAC-coded data; pcm_alignment_zero_bit byte-aligns
+        from there.  (A renormalizing DecodeFlush here consumed 7 extra
+        bits and started the PCM read up to a byte late — caught by the
+        lossless-CABAC conformance streams, where x264 emits I_PCM.)
+        Verified bit-exact vs libavcodec; the caller byte-aligns."""
+        self.r.pos -= 1
 
     def reinit(self) -> None:
         """Re-initialize the engine after PCM samples (9.3.1.2); context

@@ -165,7 +165,7 @@ def _mc_pred_batch(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
 
 
 def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
-             pallas: bool):
+             pallas: bool, bypass: bool = False):
     """Residual + inter combine (+ intra/deblock on the XLA path).
 
     Pallas path returns (init planes, residual planes, deblock tables):
@@ -173,7 +173,8 @@ def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
     through HBM-space refs that the Pallas vmap batching rule cannot
     block, so batched callers run it ONCE over the stacked batch after
     this vmapped body (it is batch-native: streams pack into lanes)."""
-    res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8, cqp_off)
+    res_y, res_cb, res_cr = residual_planes(abi, mb_w, mb_h, ws4, ws8,
+                                            cqp_off, bypass=bypass)
     H, W = mb_h * 16, mb_w * 16
     if preds is None:
         init_y = jnp.zeros((H, W), jnp.int32)
@@ -197,7 +198,8 @@ def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
 
 def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
                     mb_w: int, mb_h: int, ws4, ws8, cqp_off,
-                    pallas: bool | None = None, inter_mode: str = "none"):
+                    pallas: bool | None = None, inter_mode: str = "none",
+                    bypass: bool = False):
     """Reconstruction; Pallas path returns pre-deblock
     (y, cb, cr, tables) int32 so callers can batch the knight-phase
     deblock across streams; XLA path returns finished uint8 planes.
@@ -214,18 +216,20 @@ def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
         preds = _mc_pred(abi, dpb_y4p, dpb_cp, slot_list, mb_w=mb_w,
                          mb_h=mb_h, pallas=pallas, inter_mode=inter_mode)
     return _post_mc(abi, preds, mb_w=mb_w, mb_h=mb_h, ws4=ws4, ws8=ws8,
-                    cqp_off=cqp_off, pallas=pallas)
+                    cqp_off=cqp_off, pallas=pallas, bypass=bypass)
 
 
 def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
                     mb_w: int, mb_h: int, ws4, ws8, cqp_off,
-                    pallas: bool | None = None, inter_mode: str = "none"):
+                    pallas: bool | None = None, inter_mode: str = "none",
+                    bypass: bool = False):
     """Pure function: ABI dict + packed device DPB -> (y, cb, cr) uint8."""
     if pallas is None:
         pallas = _use_pallas()
     out = _reconstruct_fn(abi, dpb_y4p, dpb_cp, slot_list, mb_w=mb_w,
                           mb_h=mb_h, ws4=ws4, ws8=ws8, cqp_off=cqp_off,
-                          pallas=pallas, inter_mode=inter_mode)
+                          pallas=pallas, inter_mode=inter_mode,
+                          bypass=bypass)
     if not pallas:
         return out
     iy, icb, icr, ry, rcb, rcr, tables = out
@@ -242,7 +246,8 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
                            mb_w: int, mb_h: int, ws4, ws8, cqp_off,
                            n_streams: int,
                            pallas: bool | None = None,
-                           inter_mode: str = "none"):
+                           inter_mode: str = "none",
+                           bypass: bool = False):
     """Batched decode: [B, ...] stacked ABIs + per-stream DPBs -> stacked
     uint8 planes.  Residual/MC/intra vmap over the stream axis (ONE
     traced body regardless of B — the round-2 unrolled loop compiled the
@@ -266,7 +271,8 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
                                    pallas=pallas, inter_mode=inter_mode)
             preds_b = jax.vmap(mc)(abi_b, dpb_y_b, dpb_c_b, slots_b)
     post = functools.partial(_post_mc, mb_w=mb_w, mb_h=mb_h, ws4=ws4,
-                             ws8=ws8, cqp_off=cqp_off, pallas=pallas)
+                             ws8=ws8, cqp_off=cqp_off, pallas=pallas,
+                             bypass=bypass)
     if preds_b is None:
         out = jax.vmap(lambda a: post(a, None))(abi_b)
     else:
@@ -395,6 +401,7 @@ class DevicePipeline:
             decode_frame_fn, mb_w=self.mb_w, mb_h=self.mb_h,
             ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
             cqp_off=(pps.chroma_qp_index_offset, pps.chroma_qp_offset(1)),
+            bypass=bool(sps.qpprime_y_zero_transform_bypass_flag),
         )
         self._fns: dict = {}
         self._store = jax.jit(store_ref_fn, donate_argnums=(0, 1))

@@ -168,12 +168,30 @@ def _sel52(table, idx):
     return out
 
 
-def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
+def _tile_cumsum(plane, t: int, axis: int):
+    """Per-tile cumulative sum: tiles of height (axis=0) or width (axis=1)
+    `t`; the FRExt lossless intra DPCM (spec 8.3.5) in closed form —
+    vertical DPCM recon u(i,j) = p(-1,j) + sum_{k<=i} r(k,j) is the
+    standard vertical prediction plus a columnwise residual cumsum."""
+    H, W = plane.shape
+    if axis == 0:
+        return plane.reshape(H // t, t, W).cumsum(axis=1).reshape(H, W)
+    return plane.reshape(H, W // t, t).cumsum(axis=2).reshape(H, W)
+
+
+def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0),
+                    bypass: bool = False):
     """Full-frame residual computation (all MBs batched, no dependencies).
 
     abi: dict of jnp arrays per ops.abi (leading dim nMB).
     ws4: [6, 6, 4, 4] LevelScale4x4 per list (iY,iCb,iCr,pY,pCb,pCr).
     ws8: [2, 6, 8, 8] LevelScale8x8 (intra Y, inter Y).
+    bypass: SPS qpprime_y_zero_transform_bypass_flag — MBs with QP'==0
+    skip scaling+transform entirely (spec 8.5.15: residual = the parsed
+    levels, already inverse-scanned to raster in the ABI) and intra
+    vertical/horizontal blocks add the DPCM cumsum (spec 8.3.5, see
+    _tile_cumsum).  Static flag: non-lossless pipelines compile without
+    any of this.
     Returns (res_y, res_cb, res_cr) int32 planes; intra MBs still need the
     prediction stage, inter/PCM residuals are final adds.
     """
@@ -181,6 +199,7 @@ def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
     qp = abi["qp"]
     n = kind.shape[0]
     is_intra = kind <= KIND_IPCM
+    byp_mb = (qp == 0) if bypass else None
     # All-zero coeff tensors arrive OMITTED from the dict (ops.wire
     # unpack): skip the corresponding dequant/IDCT path entirely — a
     # CAVLC Baseline frame never pays the 8x8 path, a skip-heavy B
@@ -194,14 +213,24 @@ def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
             ls_inter = _gather_ls(ws4[3], qp)
             ls_y = jnp.where(is_intra[:, None, None], ls_intra, ls_inter)
             d4 = dequant4x4_dev(abi["luma4"], qp[:, None], ls_y[:, None])
+            raw4 = abi["luma4"] if bypass else None
         else:
             d4 = jnp.zeros((n, 16, 4, 4), jnp.int32)
+            raw4 = jnp.zeros((n, 16, 4, 4), jnp.int32) if bypass else None
         if "luma_dc" in abi:
             dc = luma_dc_dequant_dev(abi["luma_dc"], qp, ws4[0, :, 0, 0])
             is16 = (kind == KIND_I16)[:, None]
             d4 = d4.at[:, :, 0, 0].set(
                 jnp.where(is16, dc.reshape(-1, 16), d4[:, :, 0, 0]))
+            if bypass:
+                raw4 = raw4.at[:, :, 0, 0].set(
+                    jnp.where(is16, abi["luma_dc"].reshape(-1, 16),
+                              raw4[:, :, 0, 0]))
         plane4 = blocks4_to_plane(idct4x4_dev(d4), mb_w, mb_h)
+        if bypass:
+            byp_y = _mb_mask_to_plane(byp_mb, mb_w, mb_h, 16)
+            plane4 = jnp.where(byp_y, blocks4_to_plane(raw4, mb_w, mb_h),
+                               plane4)
     else:
         plane4 = jnp.zeros((mb_h * 16, mb_w * 16), jnp.int32)
     res_y = plane4
@@ -212,8 +241,51 @@ def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
                         _gather_ls(ws8[1], qp))
         d8 = dequant8x8_dev(abi["luma8"], qp[:, None], ls8[:, None])
         plane8 = blocks8_to_plane(idct8x8_dev(d8), mb_w, mb_h)
+        if bypass:
+            byp_y = _mb_mask_to_plane(byp_mb, mb_w, mb_h, 16)
+            plane8 = jnp.where(byp_y,
+                               blocks8_to_plane(abi["luma8"], mb_w, mb_h),
+                               plane8)
         tr8_plane = _mb_mask_to_plane(abi["tr8"] > 0, mb_w, mb_h, 16)
         res_y = jnp.where(tr8_plane, plane8, plane4)
+
+    # ---- lossless intra DPCM (spec 8.3.5): vertical/horizontal intra
+    # blocks of bypass MBs get the per-tile residual cumsum; the intra
+    # stage's standard vertical/horizontal prediction then reconstructs
+    # u(i,j) = pred + cumsum exactly.
+    if bypass:
+        from ..ops.abi import (
+            KIND_I4x4 as _KI4, KIND_I8x8 as _KI8, KIND_I16 as _KI16,
+        )
+
+        def blkmask4(cond):                  # [n,16] bool -> [H,W]
+            b = cond.reshape(mb_h, mb_w, 4, 4)
+            b = jnp.repeat(jnp.repeat(b, 4, axis=2), 4, axis=3)
+            return b.transpose(0, 2, 1, 3).reshape(mb_h * 16, mb_w * 16)
+
+        def blkmask8(cond):                  # [n,4] bool -> [H,W]
+            b = cond.reshape(mb_h, mb_w, 2, 2)
+            b = jnp.repeat(jnp.repeat(b, 8, axis=2), 8, axis=3)
+            return b.transpose(0, 2, 1, 3).reshape(mb_h * 16, mb_w * 16)
+
+        bb = byp_mb
+        i4 = (kind == _KI4) & bb
+        i8 = (kind == _KI8) & bb
+        i16 = (kind == _KI16) & bb
+        m = abi["i4_modes"]
+        v4 = blkmask4((m == 0) & i4[:, None])
+        h4 = blkmask4((m == 1) & i4[:, None])
+        m8 = abi["i8_modes"]
+        v8 = blkmask8((m8 == 0) & i8[:, None])
+        h8 = blkmask8((m8 == 1) & i8[:, None])
+        v16 = _mb_mask_to_plane((abi["i16_mode"] == 0) & i16, mb_w, mb_h, 16)
+        h16 = _mb_mask_to_plane((abi["i16_mode"] == 1) & i16, mb_w, mb_h, 16)
+        res_y = jnp.where(v4, _tile_cumsum(res_y, 4, 0), res_y)
+        res_y = jnp.where(h4, _tile_cumsum(res_y, 4, 1), res_y)
+        res_y = jnp.where(v8, _tile_cumsum(res_y, 8, 0), res_y)
+        res_y = jnp.where(h8, _tile_cumsum(res_y, 8, 1), res_y)
+        res_y = jnp.where(v16, _tile_cumsum(res_y, 16, 0), res_y)
+        res_y = jnp.where(h16, _tile_cumsum(res_y, 16, 1), res_y)
 
     # ---- PCM luma (residual = raw samples; prediction stage emits 0)
     if "pcm" in abi:
@@ -251,6 +323,30 @@ def residual_planes(abi, mb_w: int, mb_h: int, ws4, ws8, cqp_off=(0, 0)):
                 dca = dca.at[:, :, 0, 0].set(dcc.reshape(-1, 4))
             rc = idct4x4_dev(dca).reshape(-1, 2, 2, 4, 4)
             plane_c = blocks_c_to_plane(rc, mb_w, mb_h)
+            if bypass:
+                # raw levels (2x2 DC Hadamard bypassed too, spec 8.5.15)
+                if "chroma_ac" in abi:
+                    rawc = abi["chroma_ac"][:, pl].reshape(-1, 4, 4, 4)
+                else:
+                    rawc = jnp.zeros((n, 4, 4, 4), jnp.int32)
+                if "chroma_dc" in abi:
+                    rawc = rawc.at[:, :, 0, 0].set(
+                        abi["chroma_dc"][:, pl].reshape(-1, 4))
+                raw_plane = blocks_c_to_plane(
+                    rawc.reshape(-1, 2, 2, 4, 4), mb_w, mb_h)
+                byp_c = _mb_mask_to_plane(byp_mb, mb_w, mb_h, 8)
+                plane_c = jnp.where(byp_c, raw_plane, plane_c)
+                # chroma intra DPCM: mode 1 = horizontal, 2 = vertical,
+                # over the whole 8x8 chroma MB (chroma pred is per-MB)
+                cm = abi["chroma_mode"]
+                vm = _mb_mask_to_plane((cm == 2) & is_intra & byp_mb
+                                       & (kind != KIND_IPCM), mb_w, mb_h, 8)
+                hm = _mb_mask_to_plane((cm == 1) & is_intra & byp_mb
+                                       & (kind != KIND_IPCM), mb_w, mb_h, 8)
+                plane_c = jnp.where(vm, _tile_cumsum(plane_c, 8, 0),
+                                    plane_c)
+                plane_c = jnp.where(hm, _tile_cumsum(plane_c, 8, 1),
+                                    plane_c)
         else:
             plane_c = jnp.zeros((mb_h * 8, mb_w * 8), jnp.int32)
         if "pcm" in abi:

@@ -102,6 +102,13 @@ class OracleDecoder:
         for u in nal.parse_annexb(data):
             if u.nal_unit_type == nal.NAL_SPS:
                 s = parse_sps(u.rbsp)
+                if s.qpprime_y_zero_transform_bypass_flag:
+                    # lossless bypass is decoded by the shipped pipeline
+                    # (ops.transforms bypass=True); this numpy oracle
+                    # would silently apply the normal transform
+                    raise NotImplementedError(
+                        "OracleDecoder does not decode lossless bypass "
+                        "streams; use arrow_h264_tpu.api.Decoder")
                 self.sps_map[s.seq_parameter_set_id] = s
             elif u.nal_unit_type == nal.NAL_PPS:
                 p = parse_pps(u.rbsp, self.sps_map)

@@ -95,9 +95,10 @@ class BatchDecoder:
         self._dpb_c = jax.device_put(
             jnp.stack([d[1] for d in dpbs]), self._sharding)
         self._fns = {}
+        self._bypass = bool(sps.qpprime_y_zero_transform_bypass_flag)
         self._mk_fn = lambda mode: sharded_decode_fn(
             self.mesh, mb_w, mb_h, *self._ws, cqp_off=self._cqp,
-            n_streams=B, inter_mode=mode)
+            n_streams=B, inter_mode=mode, bypass=self._bypass)
         self._store = sharded_store_fn(self.mesh, B)
         self._dummy = empty_frame_abi(mb_w, mb_h)
         self._use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
@@ -125,7 +126,8 @@ class BatchDecoder:
             self._gather_fn = jax.jit(functools.partial(
                 decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
                 ws4=jnp.asarray(self._ws[0]), ws8=jnp.asarray(self._ws[1]),
-                cqp_off=self._cqp, inter_mode="gather"))
+                cqp_off=self._cqp, inter_mode="gather",
+                bypass=self._bypass))
         if wire is not None:
             from ..ops.wire import emit_wire, unpack_fn
             buf = emit_wire(*wire, target, mb_w * mb_h)

@@ -97,3 +97,43 @@ def test_device_config4_high(h264ref, tmp_path):
     ours = _decode_device(path)
     assert np.array_equal(ours, golden), \
         f"{int((ours != golden).sum())} byte diffs"
+
+
+def test_device_lossless_bypass(h264ref, tmp_path):
+    """FRExt lossless (qpprime_y_zero_transform_bypass_flag): QP'==0 MBs
+    skip scaling+transform (spec 8.5.15) and vertical/horizontal intra
+    blocks reconstruct via sample-wise DPCM (8.3.5, implemented as a
+    residual cumsum — ops.transforms._tile_cumsum).  x264 at qp=0 also
+    emits CABAC I_PCM MBs, pinning the terminate->PCM byte-align
+    transition.  Lossless means the output must equal the encoder INPUT
+    as well as the libavcodec golden."""
+    from tools import streams as st
+    w, h = 176, 144
+    yuv = st.make_content(w, h, 5, seed=23)
+    path = str(tmp_path / "lossless.264")
+    st.encode(yuv, w, h, path, st.CONFIG_OPTS["lossless"])
+    golden, gw, gh = st.golden_decode(path)
+    ours = _decode_device(path)
+    assert ours.shape == golden.shape
+    for f in range(ours.shape[0]):
+        assert np.array_equal(ours[f], golden[f]), \
+            f"frame {f}: {int((ours[f] != golden[f]).sum())} byte diffs"
+    # decode order == input order here (B frames reorder POC, but output
+    # order is display order); lossless => byte-equal to the source
+    src = np.asarray(yuv).reshape(ours.shape[0], -1)
+    assert np.array_equal(ours, src)
+
+
+def test_device_lossless_cavlc_dpcm(h264ref, tmp_path):
+    """Lossless CAVLC variant (no I_PCM path, exercises i4/i8 DPCM)."""
+    from tools import streams as st
+    w, h = 164, 132           # non-MB-multiple: cropping under bypass
+    yuv = st.make_content(w, h, 3, seed=29)
+    path = str(tmp_path / "lossless_cavlc.264")
+    st.encode(yuv, w, h, path,
+              ["profile=high444", "qp=0", "g=250", "bf=0", "refs=2",
+               f"x264-params=cabac=0:8x8dct=1:{st.X264_COMMON}"])
+    golden, gw, gh = st.golden_decode(path)
+    ours = _decode_device(path)
+    assert ours.shape == golden.shape
+    assert np.array_equal(ours, golden)

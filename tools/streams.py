@@ -96,4 +96,9 @@ CONFIG_OPTS = {
         f"x264-params=cabac=1:weightb=1:b-pyramid=0:{X264_COMMON}"],
     4: ["profile=high", "qp=26", "g=250", "bf=2", "refs=4", "keyint_min=250",
         f"x264-params=cabac=1:8x8dct=1:weightp=2:weightb=1:b-pyramid=0:{X264_COMMON}"],
+    # FRExt lossless (qpprime_y_zero_transform_bypass): QP'=0 transform
+    # bypass + intra DPCM + CABAC I_PCM MBs (x264 uses them freely at qp 0)
+    "lossless": ["profile=high444", "qp=0", "g=250", "bf=2", "refs=2",
+                 "keyint_min=250",
+                 f"x264-params=cabac=1:8x8dct=1:b-pyramid=0:{X264_COMMON}"],
 }

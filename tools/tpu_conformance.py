@@ -30,7 +30,8 @@ import numpy as np  # noqa: E402
 # Config 5 here = the 4K end of BASELINE config 5 (batched 1080p/4K):
 # a single-stream 4K High decode through the same pipeline.
 RES = {1: (176, 144, 3), 2: (352, 288, 5), 3: (1280, 720, 5),
-       4: (1920, 1088, 5), 5: (3840, 2160, 3)}
+       4: (1920, 1088, 5), 5: (3840, 2160, 3),
+       6: (352, 288, 4)}     # 6 = FRExt lossless bypass (CONFIG_OPTS["lossless"])
 
 
 def run_config(cfg: int, w: int, h: int, n: int) -> bool:
@@ -38,7 +39,7 @@ def run_config(cfg: int, w: int, h: int, n: int) -> bool:
     from arrow_h264_tpu.api import Decoder
 
     path = f"/tmp/tpuconf_c{cfg}_{w}x{h}.264"
-    opts = streams.CONFIG_OPTS[min(cfg, 4)]
+    opts = streams.CONFIG_OPTS["lossless" if cfg == 6 else min(cfg, 4)]
     if not Path(path).exists():
         yuv = streams.make_content(w, h, n, seed=40 + cfg)
         streams.encode(yuv, w, h, path, opts)
