@@ -68,16 +68,21 @@ class PendingFrame:
     caps end-to-end throughput regardless of compute.  Instead the
     batch layer starts one async copy per round (`start_fetch`) and
     materializes a round later (`finalize`), overlapping the wire
-    with the next round's host entropy parse."""
+    with the next round's host entropy parse.
 
-    __slots__ = ("y", "cb", "cr", "sps", "poc")
+    `bottom`: for PAFF field pairs, the bottom field's (y, cb, cr);
+    finalize() weaves the two fields into one progressive frame."""
 
-    def __init__(self, y, cb, cr, sps, poc):
+    __slots__ = ("y", "cb", "cr", "sps", "poc", "bottom")
+
+    def __init__(self, y, cb, cr, sps, poc, bottom=None):
         self.y, self.cb, self.cr = y, cb, cr
         self.sps, self.poc = sps, poc
+        self.bottom = bottom
 
     def start_fetch(self) -> None:
-        for a in (self.y, self.cb, self.cr):
+        arrs = (self.y, self.cb, self.cr) + (self.bottom or ())
+        for a in arrs:
             fn = getattr(a, "copy_to_host_async", None)
             if fn is not None:
                 fn()
@@ -86,8 +91,24 @@ class PendingFrame:
         y = np.asarray(self.y)
         cb = np.asarray(self.cb)
         cr = np.asarray(self.cr)
+        if self.bottom is not None:
+            y, cb, cr = _weave_planes(
+                (y, cb, cr), tuple(np.asarray(a) for a in self.bottom))
         y, cb, cr = crop_planes(self.sps, y, cb, cr)
         return Frame(y=y, cb=cb, cr=cr, poc=self.poc)
+
+
+def _weave_planes(top, bottom):
+    """Interleave top/bottom field rows into progressive planes."""
+    out = []
+    for t, b in zip(top, bottom):
+        t = np.asarray(t)
+        b = np.asarray(b)
+        w = np.empty((t.shape[0] + b.shape[0],) + t.shape[1:], t.dtype)
+        w[0::2] = t
+        w[1::2] = b
+        out.append(w)
+    return tuple(out)
 
 
 @dataclass
@@ -350,6 +371,21 @@ class Decoder:
                                pipeline.store_ref)
 
     def _emit(self, planes) -> Frame:
+        from .dpb import WovenPair
+        if isinstance(planes, WovenPair):
+            yt, cbt, crt, sps, poct = planes.top
+            yb, cbb, crb, _, pocb = planes.bottom
+            poc = min(poct, pocb)
+            if self.deferred_emit:
+                return PendingFrame(yt, cbt, crt, sps, poc,
+                                    bottom=(yb, cbb, crb))
+            t0 = time.perf_counter()
+            top = tuple(np.asarray(a) for a in (yt, cbt, crt))
+            bot = tuple(np.asarray(a) for a in (yb, cbb, crb))
+            self.stats.emit_sync_s += time.perf_counter() - t0
+            y, cb, cr = _weave_planes(top, bot)
+            y, cb, cr = crop_planes(sps, y, cb, cr)
+            return Frame(y=y, cb=cb, cr=cr, poc=poc)
         y, cb, cr, sps, poc = planes
         if self.deferred_emit:
             return PendingFrame(y, cb, cr, sps, poc)

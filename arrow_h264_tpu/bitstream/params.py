@@ -118,7 +118,11 @@ class SPS:
 
     @property
     def height(self) -> int:
-        return self.pic_height_in_map_units * 16  # frame_mbs_only
+        """Frame height in luma samples: map units are field-MB rows when
+        frame_mbs_only_flag == 0 (all-field PAFF; fields decode at
+        pic_height_in_map_units MBs and weave to this frame height)."""
+        return (2 - self.frame_mbs_only_flag) * \
+            self.pic_height_in_map_units * 16
 
     @property
     def max_frame_num(self) -> int:

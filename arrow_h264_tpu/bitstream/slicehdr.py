@@ -75,9 +75,18 @@ class SliceHeader:
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
     slice_group_change_cycle: int = 0  # FMO map types 3..5 (spec 7.4.3)
+    field_pic_flag: int = 0            # PAFF field picture (spec 7.4.3)
+    bottom_field_flag: int = 0
     # filled by caller:
     is_idr: bool = False
     nal_ref_idc: int = 1
+
+    @property
+    def parity(self) -> int:
+        """0 = frame picture, 1 = top field, 2 = bottom field."""
+        if not self.field_pic_flag:
+            return 0
+        return 2 if self.bottom_field_flag else 1
 
     @property
     def type_name(self) -> str:
@@ -237,16 +246,27 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS,
         raise NotImplementedError("4:4:4 not supported")
     h.frame_num = r.u(sps.log2_max_frame_num)
     if not sps.frame_mbs_only_flag:
-        raise NotImplementedError("field/MBAFF coding not supported")
+        # PAFF field pictures are supported (all-field streams); coded
+        # FRAMES inside an interlaced stream (incl. MBAFF MB pairs) are
+        # not — their geometry is 2x the field pipelines' (README scope).
+        h.field_pic_flag = r.u1()
+        if h.field_pic_flag:
+            h.bottom_field_flag = r.u1()
+        else:
+            raise NotImplementedError(
+                "frame pictures in interlaced streams (MBAFF/mixed PAFF) "
+                "not supported; all-field PAFF streams are")
     if h.is_idr:
         h.idr_pic_id = r.ue()
     if sps.pic_order_cnt_type == 0:
         h.pic_order_cnt_lsb = r.u(sps.log2_max_pic_order_cnt_lsb)
-        if pps.bottom_field_pic_order_in_frame_present_flag:
+        if pps.bottom_field_pic_order_in_frame_present_flag and \
+                not h.field_pic_flag:
             h.delta_pic_order_cnt = (r.se(), 0)
     elif sps.pic_order_cnt_type == 1 and not sps.delta_pic_order_always_zero_flag:
         d0 = r.se()
-        d1 = r.se() if pps.bottom_field_pic_order_in_frame_present_flag else 0
+        d1 = r.se() if pps.bottom_field_pic_order_in_frame_present_flag \
+            and not h.field_pic_flag else 0
         h.delta_pic_order_cnt = (d0, d1)
     if pps.redundant_pic_cnt_present_flag:
         h.redundant_pic_cnt = r.ue()
@@ -294,15 +314,21 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
     w.ue(h.slice_type)
     w.ue(h.pic_parameter_set_id)
     w.u(h.frame_num, sps.log2_max_frame_num)
+    if not sps.frame_mbs_only_flag:
+        w.u(h.field_pic_flag, 1)
+        if h.field_pic_flag:
+            w.u(h.bottom_field_flag, 1)
     if h.is_idr:
         w.ue(h.idr_pic_id)
     if sps.pic_order_cnt_type == 0:
         w.u(h.pic_order_cnt_lsb, sps.log2_max_pic_order_cnt_lsb)
-        if pps.bottom_field_pic_order_in_frame_present_flag:
+        if pps.bottom_field_pic_order_in_frame_present_flag and \
+                not h.field_pic_flag:
             w.se(h.delta_pic_order_cnt[0])
     elif sps.pic_order_cnt_type == 1 and not sps.delta_pic_order_always_zero_flag:
         w.se(h.delta_pic_order_cnt[0])
-        if pps.bottom_field_pic_order_in_frame_present_flag:
+        if pps.bottom_field_pic_order_in_frame_present_flag and \
+                not h.field_pic_flag:
             w.se(h.delta_pic_order_cnt[1])
     if pps.redundant_pic_cnt_present_flag:
         w.ue(h.redundant_pic_cnt)

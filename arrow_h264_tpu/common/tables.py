@@ -25,6 +25,18 @@ ZIGZAG_8x8 = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+# Field scan orders (Tables 8-13 / 8-14, field columns) — coded FIELD
+# pictures scan residual coefficients column-biased; same raster-position
+# convention as the frame tables above.
+FIELD_SCAN_4x4 = [0, 4, 1, 8, 12, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15]
+
+FIELD_SCAN_8x8 = [
+    0, 8, 16, 1, 9, 24, 32, 17, 2, 25, 40, 48, 56, 33, 10, 3,
+    18, 41, 49, 57, 26, 11, 4, 19, 34, 42, 50, 58, 27, 12, 5, 20,
+    35, 43, 51, 59, 28, 13, 6, 21, 36, 44, 52, 60, 29, 14, 22, 37,
+    45, 53, 61, 30, 7, 15, 38, 46, 54, 62, 23, 31, 39, 47, 55, 63,
+]
+
 # 4x4 luma block index -> (x4, y4) block coords inside the MB (spec 6.4.3,
 # inverse 4x4 luma block scanning order).
 BLK4_X = [0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3]

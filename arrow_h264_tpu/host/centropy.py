@@ -65,6 +65,7 @@ class _SliceParams(C.Structure):
         ("l1_poc", C.c_void_p), ("l1_lt", C.c_void_p), ("l1_uid", C.c_void_p),
         ("l1_len", C.c_int32),
         ("l0_slot", C.c_void_p), ("l1_slot", C.c_void_p),
+        ("field_pic", C.c_int32),
     ]
 
 
@@ -444,6 +445,7 @@ class CppPictureParse:
             disable_deblock_idc=hdr.disable_deblocking_filter_idc,
             alpha_off=2 * hdr.slice_alpha_c0_offset_div2,
             beta_off=2 * hdr.slice_beta_offset_div2,
+            field_pic=hdr.field_pic_flag,
         )
         keep = []
         if hdr.is_b and len(l1):

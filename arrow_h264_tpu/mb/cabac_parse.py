@@ -31,6 +31,13 @@ SIG8x8 = [0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5, 4, 4, 4, 4, 3, 3,
 LAST8x8 = [0] + [1] * 15 + [2] * 16 + [3] * 8 + [4] * 8 + [5] * 4 + \
     [6] * 4 + [7] * 4 + [8] * 3
 
+# 8x8 significance increments for FIELD-coded pictures (Table 9-43 field
+# column); last_significant shares LAST8x8 between frame and field.
+SIG8x8_FIELD = [0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8,
+                4, 5, 6, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 11,
+                12, 11, 9, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 13,
+                13, 9, 9, 10, 10, 8, 13, 13, 9, 9, 10, 10, 14, 14, 14]
+
 # ctxBlockCat offsets (spec Table 9-40)
 SIG_CAT_OFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}
 ABS_CAT_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
@@ -236,17 +243,21 @@ class CabacSliceParser:
         """Decode significance map + levels; returns scan-order levels."""
         d = self.dec
         levels = np.zeros(n_coeff, np.int32)
+        fld = bool(self.hdr.field_pic_flag)
         if cat == 5:
-            sig_base, last_base, abs_base = 402, 417, 426
+            # field-coded blocks use the 436/451 ctx ranges (Table 9-40)
+            sig_base, last_base = (436, 451) if fld else (402, 417)
+            abs_base = 426
         else:
-            sig_base = 105 + SIG_CAT_OFF[cat]
-            last_base = 166 + SIG_CAT_OFF[cat]
+            sig_base = (277 if fld else 105) + SIG_CAT_OFF[cat]
+            last_base = (338 if fld else 166) + SIG_CAT_OFF[cat]
             abs_base = 227 + ABS_CAT_OFF[cat]
         sig = []
         last = n_coeff - 1
         for i in range(n_coeff - 1):
             if cat == 5:
-                s_inc, l_inc = SIG8x8[i], LAST8x8[i]
+                s_inc = SIG8x8_FIELD[i] if fld else SIG8x8[i]
+                l_inc = LAST8x8[i]
             elif cat == 3:
                 s_inc = l_inc = min(i, 2)
             else:

@@ -165,7 +165,7 @@ def _mc_pred_batch(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
 
 
 def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
-             pallas: bool, bypass: bool = False):
+             pallas: bool, bypass: bool = False, field: bool = False):
     """Residual + inter combine (+ intra/deblock on the XLA path).
 
     Pallas path returns (init planes, residual planes, deblock tables):
@@ -188,18 +188,19 @@ def _post_mc(abi: dict, preds, *, mb_w: int, mb_h: int, ws4, ws8, cqp_off,
         init_cb = jnp.where(inter_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
         init_cr = jnp.where(inter_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
     if pallas:
-        tables = deblock_tables(abi, mb_w, mb_h, cqp_off)
+        tables = deblock_tables(abi, mb_w, mb_h, cqp_off, field=field)
         return init_y, init_cb, init_cr, res_y, res_cb, res_cr, tables
     y, cb, cr = intra_reconstruct(abi, res_y, res_cb, res_cr, mb_w, mb_h,
                                   init_y, init_cb, init_cr)
-    y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off)
+    y, cb, cr = deblock_planes(abi, y, cb, cr, mb_w, mb_h, cqp_off,
+                               field=field)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
 def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
                     mb_w: int, mb_h: int, ws4, ws8, cqp_off,
                     pallas: bool | None = None, inter_mode: str = "none",
-                    bypass: bool = False):
+                    bypass: bool = False, field: bool = False):
     """Reconstruction; Pallas path returns pre-deblock
     (y, cb, cr, tables) int32 so callers can batch the knight-phase
     deblock across streams; XLA path returns finished uint8 planes.
@@ -216,20 +217,21 @@ def _reconstruct_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
         preds = _mc_pred(abi, dpb_y4p, dpb_cp, slot_list, mb_w=mb_w,
                          mb_h=mb_h, pallas=pallas, inter_mode=inter_mode)
     return _post_mc(abi, preds, mb_w=mb_w, mb_h=mb_h, ws4=ws4, ws8=ws8,
-                    cqp_off=cqp_off, pallas=pallas, bypass=bypass)
+                    cqp_off=cqp_off, pallas=pallas, bypass=bypass,
+                    field=field)
 
 
 def decode_frame_fn(abi: dict, dpb_y4p, dpb_cp, slot_list, *,
                     mb_w: int, mb_h: int, ws4, ws8, cqp_off,
                     pallas: bool | None = None, inter_mode: str = "none",
-                    bypass: bool = False):
+                    bypass: bool = False, field: bool = False):
     """Pure function: ABI dict + packed device DPB -> (y, cb, cr) uint8."""
     if pallas is None:
         pallas = _use_pallas()
     out = _reconstruct_fn(abi, dpb_y4p, dpb_cp, slot_list, mb_w=mb_w,
                           mb_h=mb_h, ws4=ws4, ws8=ws8, cqp_off=cqp_off,
                           pallas=pallas, inter_mode=inter_mode,
-                          bypass=bypass)
+                          bypass=bypass, field=field)
     if not pallas:
         return out
     iy, icb, icr, ry, rcb, rcr, tables = out
@@ -247,7 +249,7 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
                            n_streams: int,
                            pallas: bool | None = None,
                            inter_mode: str = "none",
-                           bypass: bool = False):
+                           bypass: bool = False, field: bool = False):
     """Batched decode: [B, ...] stacked ABIs + per-stream DPBs -> stacked
     uint8 planes.  Residual/MC/intra vmap over the stream axis (ONE
     traced body regardless of B — the round-2 unrolled loop compiled the
@@ -272,7 +274,7 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
             preds_b = jax.vmap(mc)(abi_b, dpb_y_b, dpb_c_b, slots_b)
     post = functools.partial(_post_mc, mb_w=mb_w, mb_h=mb_h, ws4=ws4,
                              ws8=ws8, cqp_off=cqp_off, pallas=pallas,
-                             bypass=bypass)
+                             bypass=bypass, field=field)
     if preds_b is None:
         out = jax.vmap(lambda a: post(a, None))(abi_b)
     else:
@@ -402,10 +404,15 @@ class DevicePipeline:
             ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8),
             cqp_off=(pps.chroma_qp_index_offset, pps.chroma_qp_offset(1)),
             bypass=bool(sps.qpprime_y_zero_transform_bypass_flag),
+            field=not sps.frame_mbs_only_flag,
         )
         self._fns: dict = {}
         self._store = jax.jit(store_ref_fn, donate_argnums=(0, 1))
-        self.n_slots = max(2, min(sps.max_num_ref_frames, 16) + 1)
+        # interlaced SPS: each reference FRAME is two field pictures, each
+        # in its own (half-height) device slot (all-field PAFF decode)
+        per_frame = 1 if sps.frame_mbs_only_flag else 2
+        self.n_slots = max(2, min(sps.max_num_ref_frames * per_frame,
+                                  32) + 1)
         self.dpb_y4p, self.dpb_cp = dpb_alloc(self.mb_w, self.mb_h,
                                               self.n_slots)
 

@@ -50,7 +50,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..common.tables import BLK4_X, BLK4_Y, RASTER_TO_BLK4, ZIGZAG_4x4, ZIGZAG_8x8
+from ..common.tables import (
+    BLK4_X, BLK4_Y, FIELD_SCAN_4x4, FIELD_SCAN_8x8, RASTER_TO_BLK4,
+    ZIGZAG_4x4, ZIGZAG_8x8,
+)
 from ..mb.parse import PictureParse
 from ..mb.types import (
     MB_B, MB_BDIRECT16, MB_BSKIP, MB_I4x4, MB_I8x8, MB_I16x16, MB_IPCM,
@@ -97,17 +100,19 @@ _CAT_TO_KIND = {MB_I4x4: KIND_I4x4, MB_I8x8: KIND_I8x8,
 
 _ZZ4 = np.array(ZIGZAG_4x4)
 _ZZ8 = np.array(ZIGZAG_8x8)
+_FS4 = np.array(FIELD_SCAN_4x4)
+_FS8 = np.array(FIELD_SCAN_8x8)
 
 
-def _unscan4(levels16: np.ndarray) -> np.ndarray:
+def _unscan4(levels16: np.ndarray, fld: bool = False) -> np.ndarray:
     out = np.zeros(16, np.int32)
-    out[_ZZ4] = levels16
+    out[_FS4 if fld else _ZZ4] = levels16
     return out.reshape(4, 4)
 
 
-def _unscan8(levels64: np.ndarray) -> np.ndarray:
+def _unscan8(levels64: np.ndarray, fld: bool = False) -> np.ndarray:
     out = np.zeros(64, np.int32)
-    out[_ZZ8] = levels64
+    out[_FS8 if fld else _ZZ8] = levels64
     return out.reshape(8, 8)
 
 
@@ -162,6 +167,8 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
     abi = empty_frame_abi(pic.mb_w, pic.mb_h)
     mb_w, mb_h = pic.mb_w, pic.mb_h
     n = mb_w * mb_h
+    # coded FIELD pictures inverse-scan residuals with the field tables
+    fld = bool(pic.headers and pic.headers[0].field_pic_flag)
 
     def mb_avail_intra(nb_x, nb_y, cur) -> bool:
         if nb_x < 0 or nb_y < 0 or nb_x >= mb_w or nb_y >= mb_h:
@@ -219,19 +226,19 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
                 abi["chroma_dc"][addr, pl] = mb.chroma_dc[pl].reshape(2, 2)
                 for blk in range(4):
                     abi["chroma_ac"][addr, pl, blk // 2, blk % 2] = \
-                        _unscan4(mb.chroma_ac[pl, blk])
+                        _unscan4(mb.chroma_ac[pl, blk], fld)
 
         if mb.category == MB_I16x16:
             abi["i16_mode"][addr] = mb.i16_mode
             abi["chroma_mode"][addr] = mb.chroma_mode
-            abi["luma_dc"][addr] = _unscan4(mb.luma_dc)
+            abi["luma_dc"][addr] = _unscan4(mb.luma_dc, fld)
             for blk in range(16):
                 r = BLK4_Y[blk] * 4 + BLK4_X[blk]
-                abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk])
+                abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk], fld)
         elif mb.category == MB_I8x8:
             abi["chroma_mode"][addr] = mb.chroma_mode
             for blk in range(4):
-                abi["luma8"][addr, blk] = _unscan8(mb.luma_levels[blk])
+                abi["luma8"][addr, blk] = _unscan8(mb.luma_levels[blk], fld)
                 abi["i8_modes"][addr, blk] = mb.i8_modes[blk]
                 bx = mb.mb_x * 4 + (blk % 2) * 2
                 by = mb.mb_y * 4 + (blk // 2) * 2
@@ -246,7 +253,7 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
             abi["chroma_mode"][addr] = mb.chroma_mode
             for blk in range(16):
                 r = BLK4_Y[blk] * 4 + BLK4_X[blk]
-                abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk])
+                abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk], fld)
                 abi["i4_modes"][addr, r] = mb.i4_modes[blk]
                 bx = mb.mb_x * 4 + BLK4_X[blk]
                 by = mb.mb_y * 4 + BLK4_Y[blk]
@@ -261,11 +268,11 @@ def pack_frame(pic: PictureParse, cur_poc: int = 0) -> FrameABI:
             if mb.luma_levels is not None:
                 if mb.transform_8x8:
                     for blk in range(4):
-                        abi["luma8"][addr, blk] = _unscan8(mb.luma_levels[blk])
+                        abi["luma8"][addr, blk] = _unscan8(mb.luma_levels[blk], fld)
                 else:
                     for blk in range(16):
                         r = BLK4_Y[blk] * 4 + BLK4_X[blk]
-                        abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk])
+                        abi["luma4"][addr, r] = _unscan4(mb.luma_levels[blk], fld)
             abi["mv"][addr] = np.moveaxis(mb.mvs, 0, 2)
             ridx = np.moveaxis(mb.refidx, 0, 2).astype(np.int32)  # [4,4,2]
             abi["refidx"][addr] = ridx

@@ -30,10 +30,13 @@ def _mv_far(a, b):
            (jnp.abs(a[..., 1] - b[..., 1]) >= 4)
 
 
-def _bs_pair(ip, iq, mb_edge, nzp, nzq, refp, refq, mvp, mvq):
+def _bs_pair(ip, iq, mb_edge, nzp, nzq, refp, refq, mvp, mvq, bs4=4):
     """Boundary strength (spec 8.7.2.1), vectorized over [...].
 
     refp/refq [..., 2] picture ids (-1 unused); mvp/mvq [..., 2, 2].
+    bs4: strength of intra MACROBLOCK edges — 4, except HORIZONTAL MB
+    edges of FIELD pictures take 3 (8.7.2.1: bS 4 needs verticalEdgeFlag
+    or a frame picture).
     """
     n_p = (refp >= 0).sum(-1)
     n_q = (refq >= 0).sum(-1)
@@ -61,7 +64,7 @@ def _bs_pair(ip, iq, mb_edge, nzp, nzq, refp, refq, mvp, mvq):
     far = jnp.where(n_p == 1, far1, jnp.where(n_p == 2, far2, False))
     mv_bs = jnp.where((n_p != n_q) | ~sets_eq | far, 1, 0)
     bs = jnp.where(nzp | nzq, 2, mv_bs)
-    bs = jnp.where(ip | iq, jnp.where(mb_edge, 4, 3), bs)
+    bs = jnp.where(ip | iq, jnp.where(mb_edge, bs4, 3), bs)
     return bs
 
 
@@ -140,7 +143,8 @@ def _idx_ab(qp_p, qp_q, a_off, b_off):
     return ia, ib
 
 
-def deblock_planes(abi, y, cb, cr, mb_w: int, mb_h: int, cqp_off=(0, 0)):
+def deblock_planes(abi, y, cb, cr, mb_w: int, mb_h: int, cqp_off=(0, 0),
+                   field: bool = False):
     """Apply the full deblocking process.  y [H, W] int32 etc.  Returns planes.
 
     Planes are padded bottom/right; masked-off jobs gather AND scatter in the
@@ -265,7 +269,8 @@ def deblock_planes(abi, y, cb, cr, mb_w: int, mb_h: int, cqp_off=(0, 0)):
             bs = _bs_pair(p_i[:, None], cur_i[:, None], mb_edge,
                           p_nz[:, byp, :], cur_nz[:, byq, :],
                           p_ref[:, byp, :], cur_ref[:, byq, :],
-                          p_mv[:, byp, :], cur_mv[:, byq, :])  # [P, 4]
+                          p_mv[:, byp, :], cur_mv[:, byq, :],
+                          bs4=3 if field else 4)  # [P, 4]
             ia, ib = _idx_ab(p_qp, cur_qp, a_off, b_off)
             alpha = jnp.asarray(_ALPHA)[ia]
             beta = jnp.asarray(_BETA)[ib]
@@ -346,7 +351,8 @@ def _lut_tc0(tc0_table, bsi, ia):
     return out
 
 
-def deblock_tables(abi, mb_w: int, mb_h: int, cqp_off=(0, 0)):
+def deblock_tables(abi, mb_w: int, mb_h: int, cqp_off=(0, 0),
+                   field: bool = False):
     """Per-edge bS / tc0 / alpha / beta tables for the whole frame.
 
     Returns dict:
@@ -409,7 +415,8 @@ def deblock_tables(abi, mb_w: int, mb_h: int, cqp_off=(0, 0)):
             p_i = p_intra0 if mb_edge else is_intra
             bs = _bs_pair(p_i[..., None], is_intra[..., None], mb_edge,
                           p_nz(e), q_nz(e), p_ref(e), q_ref(e),
-                          p_mv(e), q_mv(e))          # [mbh, mbw, 4]
+                          p_mv(e), q_mv(e),
+                          bs4=3 if (horiz and field) else 4)
             if mb_edge:
                 mask = ok_edge0
             else:

@@ -76,9 +76,11 @@ def build_deblock_meta(pic: PictureParse) -> DeblockMeta:
 def crop_planes(sps: SPS, y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
     if not sps.frame_cropping_flag:
         return y, cb, cr
-    # 4:2:0 frame: CropUnitX = 2, CropUnitY = 2 (spec 7.4.2.1.1)
+    # 4:2:0: CropUnitX = 2; CropUnitY = 2 * (2 - frame_mbs_only_flag)
+    # (spec 7.4.2.1.1 — vertical crop units double for interlaced SPS)
+    cu_y = 2 * (2 - sps.frame_mbs_only_flag)
     l, r_, t, b = (2 * sps.crop_left, 2 * sps.crop_right,
-                   2 * sps.crop_top, 2 * sps.crop_bottom)
+                   cu_y * sps.crop_top, cu_y * sps.crop_bottom)
     h, w = y.shape
     y = y[t:h - b, l:w - r_]
     cb = cb[t // 2:(h - b) // 2, l // 2:(w - r_) // 2]

@@ -87,7 +87,9 @@ class BatchDecoder:
             else sps.scaling_lists_8x8
         self._ws = make_ws_consts(sl4, sl8)
         self._cqp = (pps.chroma_qp_index_offset, pps.chroma_qp_offset(1))
-        self.n_slots = max(2, min(sps.max_num_ref_frames, 16) + 1)
+        per_frame = 1 if sps.frame_mbs_only_flag else 2
+        self.n_slots = max(2, min(sps.max_num_ref_frames * per_frame,
+                                  32) + 1)
         B = self.n_streams
         dpbs = [dpb_alloc(mb_w, mb_h, self.n_slots + 1) for _ in range(B)]
         self._dpb_y = jax.device_put(
@@ -96,9 +98,11 @@ class BatchDecoder:
             jnp.stack([d[1] for d in dpbs]), self._sharding)
         self._fns = {}
         self._bypass = bool(sps.qpprime_y_zero_transform_bypass_flag)
+        self._field = not sps.frame_mbs_only_flag
         self._mk_fn = lambda mode: sharded_decode_fn(
             self.mesh, mb_w, mb_h, *self._ws, cqp_off=self._cqp,
-            n_streams=B, inter_mode=mode, bypass=self._bypass)
+            n_streams=B, inter_mode=mode, bypass=self._bypass,
+            field=self._field)
         self._store = sharded_store_fn(self.mesh, B)
         self._dummy = empty_frame_abi(mb_w, mb_h)
         self._use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
@@ -127,7 +131,7 @@ class BatchDecoder:
                 decode_frame_fn, mb_w=mb_w, mb_h=mb_h,
                 ws4=jnp.asarray(self._ws[0]), ws8=jnp.asarray(self._ws[1]),
                 cqp_off=self._cqp, inter_mode="gather",
-                bypass=self._bypass))
+                bypass=self._bypass, field=self._field))
         if wire is not None:
             from ..ops.wire import emit_wire, unpack_fn
             buf = emit_wire(*wire, target, mb_w * mb_h)

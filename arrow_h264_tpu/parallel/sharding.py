@@ -28,7 +28,7 @@ def make_stream_mesh(devices=None) -> Mesh:
 
 def batched_decode_fn(mb_w: int, mb_h: int, ws4, ws8, cqp_off,
                       per_dev: int, inter_mode: str = "none",
-                      bypass: bool = False):
+                      bypass: bool = False, field: bool = False):
     """Batched decode over stacked (abi, dpb_y4p, dpb_cp, slot_list).
 
     per_dev: streams per device shard (static).  Returns a function over
@@ -37,14 +37,16 @@ def batched_decode_fn(mb_w: int, mb_h: int, ws4, ws8, cqp_off,
         return decode_frames_batch_fn(
             abi_b, dpb_y_b, dpb_c_b, slots_b, mb_w=mb_w, mb_h=mb_h,
             ws4=jnp.asarray(ws4), ws8=jnp.asarray(ws8), cqp_off=cqp_off,
-            n_streams=per_dev, inter_mode=inter_mode, bypass=bypass)
+            n_streams=per_dev, inter_mode=inter_mode, bypass=bypass,
+            field=field)
 
     return stacked
 
 
 def sharded_decode_fn(mesh: Mesh, mb_w: int, mb_h: int, ws4, ws8,
                       cqp_off=(0, 0), n_streams: int | None = None,
-                      inter_mode: str = "none", bypass: bool = False):
+                      inter_mode: str = "none", bypass: bool = False,
+                      field: bool = False):
     """jit the batched decode with the stream batch sharded over the mesh.
 
     n_streams must be a multiple of the mesh size (default: one per
@@ -55,7 +57,7 @@ def sharded_decode_fn(mesh: Mesh, mb_w: int, mb_h: int, ws4, ws8,
     assert n_streams % n_dev == 0, (n_streams, n_dev)
     per_dev = n_streams // n_dev
     fn = batched_decode_fn(mb_w, mb_h, ws4, ws8, cqp_off, per_dev,
-                           inter_mode, bypass=bypass)
+                           inter_mode, bypass=bypass, field=field)
     spec = P("stream")
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # annotation; decode is DP-only so every output varies on "stream"

@@ -588,6 +588,8 @@ struct SliceParams {
   const int32_t* l1_poc; const uint8_t* l1_lt; const int32_t* l1_uid;
   int32_t l1_len;
   const int32_t* l0_slot; const int32_t* l1_slot;  // device DPB slot per idx
+  int32_t field_pic;     // coded FIELD picture (PAFF): field scans + field
+                         // CABAC significance contexts (Tables 8-14 / 9-40)
 };
 
 // ---------------------------------------------------------------------------
@@ -601,6 +603,8 @@ struct Parser {
   FastCab fc;   // register-resident engine view, live for the whole slice
   int mb_w, mb_h, w4, h4, w2, h2, n;
   int prev_qp_delta = 0;
+  const int8_t* zz4;   // inverse-scan tables: frame zigzag or field scan
+  const int8_t* zz8;
 
   Parser(PicBuf* pb_, SliceParams* sp_, const uint8_t* data, int64_t nbytes,
          int64_t bitpos)
@@ -609,6 +613,8 @@ struct Parser {
     w4 = mb_w * 4; h4 = mb_h * 4;
     w2 = mb_w * 2; h2 = mb_h * 2;
     n = mb_w * mb_h;
+    zz4 = sp->field_pic ? kFieldScan4 : kZigzag4;
+    zz8 = sp->field_pic ? kFieldScan8 : kZigzag8;
   }
 
   // ---- grid helpers ----

@@ -1,0 +1,202 @@
+"""Hand-authored PAFF (all-field) conformance streams.
+
+x264 cannot encode PAFF field pictures (its --interlaced mode is MBAFF
+only) and the container has no JM conformance set (zero egress), so the
+field-decoding path (SURVEY.md §2 picture/slice driver "field/frame
+handling" row; spec 7.4.3 field_pic_flag, 8.2.1 field POC, 8.2.4.2.5
+field reference lists, Tables 8-13/8-14 field scans) is exercised with
+hand-authored Main-profile streams: each frame is coded as a top field
+picture + a bottom field picture.  Unlike FMO, libavcodec DOES decode
+PAFF, so `tools.streams.golden_decode` is a true independent oracle for
+every stream authored here — including the CAVLC residual ones that pin
+the field scan order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from arrow_h264_tpu.bitstream.bits import BitWriter
+from arrow_h264_tpu.bitstream.nal import rbsp_to_ebsp
+from arrow_h264_tpu.bitstream.params import PPS, SPS, write_pps, write_sps
+from arrow_h264_tpu.bitstream.slicehdr import SliceHeader, write_slice_header
+
+from tools.fmo_streams import _nal, _pcm_mb, _write_pcm_samples
+
+
+def field_sps(mb_w: int, map_units: int, **kw) -> SPS:
+    """Main-profile interlaced SPS: frame height = 2 * map_units MBs;
+    each coded field is mb_w x map_units MBs."""
+    return SPS(profile_idc=77, level_idc=30, pic_width_in_mbs=mb_w,
+               pic_height_in_map_units=map_units, max_num_ref_frames=2,
+               frame_mbs_only_flag=0, mb_adaptive_frame_field_flag=0,
+               log2_max_frame_num=4, log2_max_pic_order_cnt_lsb=4, **kw)
+
+
+def _field_hdr(frame: int, parity: int, slice_type: int, sps: SPS,
+               idr: bool) -> SliceHeader:
+    hdr = SliceHeader(
+        first_mb_in_slice=0, slice_type=slice_type,
+        frame_num=frame % (1 << sps.log2_max_frame_num),
+        idr_pic_id=0,
+        # top field POC lsb 2f, bottom 2f+1 (display order top-first)
+        pic_order_cnt_lsb=(2 * frame + (parity - 1)) %
+            (1 << sps.log2_max_pic_order_cnt_lsb),
+        slice_qp_delta=0)
+    hdr.field_pic_flag = 1
+    hdr.bottom_field_flag = parity - 1
+    hdr.is_idr = idr
+    hdr.nal_ref_idc = 3
+    return hdr
+
+
+def make_field_pcm_stream(mb_w: int = 6, map_units: int = 4,
+                          n_frames: int = 3) -> bytes:
+    """All-I_PCM PAFF stream: per frame, a top field picture then a
+    bottom field picture (IDR first field only).  Exercises field
+    picture framing, field POC, pairing, and woven output."""
+    sps = field_sps(mb_w, map_units)
+    pps = PPS()
+    out = [_nal(7, 3, write_sps(sps)), _nal(8, 3, write_pps(pps))]
+    n = mb_w * map_units
+    for f in range(n_frames):
+        for parity in (1, 2):
+            idr = f == 0 and parity == 1
+            w = BitWriter()
+            hdr = _field_hdr(f, parity, 2, sps, idr)
+            write_slice_header(w, hdr, sps, pps)
+            for addr in range(n):
+                w.ue(25)         # mb_type I_PCM
+                _write_pcm_samples(
+                    w, *_pcm_mb(addr, 2 * f + (parity - 1), mb_w))
+            w.rbsp_trailing_bits()
+            out.append(_nal(5 if idr else 1, 3, w.get_bytes()))
+    return b"".join(out)
+
+
+def field_pcm_golden(mb_w: int = 6, map_units: int = 4,
+                     n_frames: int = 3) -> list[np.ndarray]:
+    """Constructed golden for make_field_pcm_stream: PCM carries pixels
+    verbatim and PCM MBs deblock with QPY=0 (every edge filter off), so
+    the woven output frame IS the authored content row-interleaved."""
+    out = []
+    for f in range(n_frames):
+        y = np.zeros((map_units * 32, mb_w * 16), np.uint8)
+        cb = np.zeros((map_units * 16, mb_w * 8), np.uint8)
+        cr = np.zeros_like(cb)
+        for parity in (1, 2):
+            yf = np.zeros((map_units * 16, mb_w * 16), np.uint8)
+            cbf = np.zeros((map_units * 8, mb_w * 8), np.uint8)
+            crf = np.zeros_like(cbf)
+            for addr in range(mb_w * map_units):
+                my, mx = divmod(addr, mb_w)
+                ym, cbm, crm = _pcm_mb(addr, 2 * f + (parity - 1), mb_w)
+                yf[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = ym
+                cbf[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = cbm
+                crf[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = crm
+            y[parity - 1::2] = yf
+            cb[parity - 1::2] = cbf
+            cr[parity - 1::2] = crf
+        out.append(np.concatenate([y.ravel(), cb.ravel(), cr.ravel()]))
+    return out
+
+
+def _i16_plan(addr: int, fidx: int, dense: bool) -> tuple:
+    """Deterministic I16 residual plan (DC + optional AC) per MB."""
+    rng = np.random.default_rng(31000 + 211 * fidx + addr)
+    dc = np.zeros(16, np.int64)
+    k = int(rng.integers(1, 5))
+    pos = np.sort(rng.choice(16, k, replace=False))
+    dc[pos] = rng.integers(1, 4, k) * rng.choice([-1, 1], k)
+    if not dense or addr % 4 == 3:
+        return dc, None
+    ac = np.zeros((16, 15), np.int64)
+    for b in range(16):
+        kb = int(rng.integers(0, 6))
+        if kb:
+            p = np.sort(rng.choice(15, kb, replace=False))
+            ac[b][p] = rng.integers(1, 3, kb) * rng.choice([-1, 1], kb)
+    return dc, ac
+
+
+def make_field_cavlc_stream(mb_w: int = 6, map_units: int = 4,
+                            n_frames: int = 2) -> bytes:
+    """I16 CAVLC PAFF stream with DC+AC residuals: the residual levels
+    travel through the FIELD inverse scan (Table 8-13 field column), so
+    a wrong field scan breaks byte-equality against libavcodec."""
+    from tools.fmo_streams import _CavlcPicState, _ZBLK
+    from arrow_h264_tpu.entropy.cavlc import encode_residual_block
+    sps = field_sps(mb_w, map_units)
+    pps = PPS()
+    out = [_nal(7, 3, write_sps(sps)), _nal(8, 3, write_pps(pps))]
+    n = mb_w * map_units
+    for f in range(n_frames):
+        for parity in (1, 2):
+            idr = f == 0 and parity == 1
+            fidx = 2 * f + (parity - 1)
+            w = BitWriter()
+            hdr = _field_hdr(f, parity, 2, sps, idr)
+            write_slice_header(w, hdr, sps, pps)
+            st = _CavlcPicState(mb_w, map_units, np.zeros(n, np.int32))
+            for addr in range(n):
+                my, mx = divmod(addr, mb_w)
+                by0, bx0 = my * 4, mx * 4
+                dc, ac = _i16_plan(addr, fidx, dense=True)
+                icode = 3 if ac is None else 15   # DC pred, cbpC 0, cbpY
+                w.ue(icode)
+                w.ue(0)                           # chroma pred DC
+                w.se(0)                           # mb_qp_delta
+                encode_residual_block(w, st.nc(addr, by0, bx0), list(dc), 16)
+                if ac is not None:
+                    for b, (dy, dx) in enumerate(_ZBLK):
+                        tc, _ = encode_residual_block(
+                            w, st.nc(addr, by0 + dy, bx0 + dx),
+                            list(ac[b]), 15)
+                        st.nz[by0 + dy, bx0 + dx] = tc
+            w.rbsp_trailing_bits()
+            out.append(_nal(5 if idr else 1, 3, w.get_bytes()))
+    return b"".join(out)
+
+
+def make_field_p_stream(mb_w: int = 6, map_units: int = 4,
+                        n_frames: int = 3) -> bytes:
+    """PAFF stream with P fields: frame 0 is an I field pair (PCM), the
+    rest are P field pairs of P_L0_16x16 MBs with small MVDs (no
+    residual).  Each P field's list0[0] is the opposite-parity field of
+    the previous coded field (8.2.4.2.5 alternation starts with the
+    SAME parity as current, so list0[0] is the same-parity field of the
+    newest reference frame; the MC path must still get the cross-parity
+    chroma offset right for refs further down the list — covered by
+    using refidx 0 only, same-parity, plus the sibling at refidx 1)."""
+    sps = field_sps(mb_w, map_units)
+    pps = PPS()
+    out = [_nal(7, 3, write_sps(sps)), _nal(8, 3, write_pps(pps))]
+    n = mb_w * map_units
+    for f in range(n_frames):
+        for parity in (1, 2):
+            idr = f == 0 and parity == 1
+            fidx = 2 * f + (parity - 1)
+            w = BitWriter()
+            stype = 2 if f == 0 else 0
+            hdr = _field_hdr(f, parity, stype, sps, idr)
+            if stype == 0:
+                hdr.num_ref_idx_active_override_flag = 1
+                hdr.num_ref_idx_l0_active = 2
+            write_slice_header(w, hdr, sps, pps)
+            rng = np.random.default_rng(4200 + fidx)
+            if stype == 2:
+                for addr in range(n):
+                    w.ue(25)
+                    _write_pcm_samples(w, *_pcm_mb(addr, fidx, mb_w))
+            else:
+                for addr in range(n):
+                    w.ue(0)                       # mb_skip_run
+                    w.ue(0)                       # P_L0_16x16
+                    ref2 = int(rng.integers(0, 2))
+                    w.te(ref2, 1)                 # ref_idx_l0 (0 or 1)
+                    w.se(int(rng.integers(-6, 7)))   # mvd x
+                    w.se(int(rng.integers(-6, 7)))   # mvd y
+                    w.ue(0)                       # cbp 0
+            w.rbsp_trailing_bits()
+            out.append(_nal(5 if idr else 1, 3, w.get_bytes()))
+    return b"".join(out)
