@@ -313,6 +313,17 @@ class Decoder:
             abi = centropy.pack_frame_cpp(pic, poc)
         else:
             abi = pack_frame(pic, poc)
+        hdr0 = pic.headers[0] if pic.headers else None
+        if hdr0 is not None and hdr0.field_pic_flag:
+            # per-slot chroma MV adjustment for cross-parity references
+            # (spec 8.4.1.4.1; consumed by ops.inter._inter_cells_core)
+            cvoff = np.zeros(64, np.int32)
+            for l0, l1 in pic.slice_reflists:
+                for p in list(l0) + list(l1):
+                    if p.slot >= 0 and p.parity and \
+                            p.parity != hdr0.parity:
+                        cvoff[p.slot] = -2 if hdr0.parity == 1 else 2
+            abi["cvoff"] = cvoff
         if self._trace is not None:
             trace_frame_abi(self._trace, abi, pic.sps.pic_width_in_mbs,
                             pic.sps.pic_height_in_map_units,

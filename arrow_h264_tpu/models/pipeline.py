@@ -452,8 +452,15 @@ class DevicePipeline:
 
     def decode_frame(self, abi: FrameABI):
         mode, slot_list, patch = self._select_inter_mode(abi)
+        if mode != "none" and "cvoff" in abi and abi["cvoff"].any():
+            # cross-parity field references: only the gather MC path
+            # applies the per-slot chroma adjustment (8.4.1.4.1) — the
+            # Pallas kernel's candidate encoding has no parity channel
+            mode = "gather"
         abi["patch"] = patch
         dev = self.upload_abi(abi)
+        if "cvoff" in abi:
+            dev["cvoff"] = jnp.asarray(abi["cvoff"])
         if mode not in self._fns:
             self._fns[mode] = jax.jit(
                 functools.partial(self._base, inter_mode=mode))

@@ -248,13 +248,22 @@ def _inter_cells_core(abi, blk, mb_w: int, luma_g, chroma_gb, chroma_gr):
     cx = mbx * 8 + (cell % 4) * 2
     cy = mby * 8 + (cell // 4) * 2
 
+    # PAFF cross-parity chroma adjustment (spec 8.4.1.4.1): when the
+    # current FIELD references a field of opposite parity, the vertical
+    # CHROMA vector shifts by +-2 (1/8 chroma-sample units — the same
+    # units this core reads mv[..,1] in for chroma).  abi["cvoff"] is a
+    # per-device-DPB-slot table (0 for same parity / frame decoding).
+    cvoff = abi.get("cvoff")
     preds_y = []
     preds_cb = []
     preds_cr = []
     for lst in range(2):
+        mvy_c = mv[:, lst, 1]
+        if cvoff is not None:
+            mvy_c = mvy_c + cvoff[slot[:, lst]]
         py = luma_g(slot[:, lst], bx, by, mv[:, lst, 0], mv[:, lst, 1])
-        pcb = chroma_gb(slot[:, lst], cx, cy, mv[:, lst, 0], mv[:, lst, 1])
-        pcr = chroma_gr(slot[:, lst], cx, cy, mv[:, lst, 0], mv[:, lst, 1])
+        pcb = chroma_gb(slot[:, lst], cx, cy, mv[:, lst, 0], mvy_c)
+        pcr = chroma_gr(slot[:, lst], cx, cy, mv[:, lst, 0], mvy_c)
         preds_y.append(py)
         preds_cb.append(pcb)
         preds_cr.append(pcr)

@@ -138,6 +138,8 @@ class BatchDecoder:
             dev = unpack_fn(mb_w, mb_h, target)(jnp.asarray(buf))
         else:
             dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
+        if "cvoff" in abi:
+            dev["cvoff"] = jnp.asarray(abi["cvoff"])
         slot_list = jnp.full((MAX_SLOTS,), -1, jnp.int32)
         self.demotions += 1
         return self._gather_fn(dev, self._dpb_y[i], self._dpb_c[i],
@@ -186,6 +188,11 @@ class BatchDecoder:
                 # in the parse pool, before the wire pack ships the
                 # patch list as a wire section
                 mode, sl, patch = select_inter_mode(abi, mb_w, mb_h)
+                if mode != "none" and "cvoff" in abi \
+                        and abi["cvoff"].any():
+                    mode = "gather"   # cross-parity field refs: the
+                                      # chroma adjustment lives on the
+                                      # gather path (8.4.1.4.1)
                 abi["patch"] = patch
                 if use_wire:
                     from ..ops.wire import pack_wire_raw
@@ -267,12 +274,20 @@ class BatchDecoder:
                 batchw = jax.device_put(jnp.asarray(np.stack(bufs)),
                                         self._sharding)
                 batch = unpack_fn(mb_w, mb_h, target, batched=True)(batchw)
+                if self._field:
+                    batch["cvoff"] = jax.device_put(jnp.asarray(np.stack(
+                        [np.asarray(abis[i]["cvoff"])
+                         if i in abis and i not in demoted
+                         else np.zeros(64, np.int32)
+                         for i in range(B)])), self._sharding)
             else:
                 batch = {}
-                for k in ABI_DEVICE_KEYS:
-                    rows = [abis[i][k]
+                keys = ABI_DEVICE_KEYS + (("cvoff",) if self._field else ())
+                zero_cv = np.zeros(64, np.int32)
+                for k in keys:
+                    rows = [abis[i].get(k, zero_cv)
                             if i in abis and i not in demoted
-                            else self._dummy[k]
+                            else self._dummy.get(k, zero_cv)
                             for i in range(B)]
                     batch[k] = jax.device_put(
                         jnp.stack([jnp.asarray(r) for r in rows]),
