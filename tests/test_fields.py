@@ -69,6 +69,20 @@ def test_field_p_motion(tmp_path, entropy):
         assert np.array_equal(o, g), f"frame {i} differs"
 
 
+@pytest.mark.parametrize("entropy", ["python", "cpp"])
+def test_field_b_motion(tmp_path, entropy):
+    """B fields with explicit L0/L1/Bi refs through the parity-
+    alternating field B lists (8.2.4.2.4/8.2.4.2.5): pins field B list
+    order, field PicNums in both lists, bipred averaging on field
+    planes, and POC-ordered emission around a non-reference pair."""
+    data = FS.make_field_b_stream()
+    ours = _decode_ours(data, entropy)
+    golden = _golden(data, tmp_path)
+    assert len(ours) == len(golden) == 3
+    for i, (o, g) in enumerate(zip(ours, golden)):
+        assert np.array_equal(o, g), f"frame {i} differs"
+
+
 def test_field_poc_and_units():
     """Field POC (type 0) and DPB unit bookkeeping on the PCM stream."""
     dec = Decoder(entropy="python")

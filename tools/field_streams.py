@@ -158,6 +158,73 @@ def make_field_cavlc_stream(mb_w: int = 6, map_units: int = 4,
     return b"".join(out)
 
 
+def make_field_b_stream(mb_w: int = 6, map_units: int = 4) -> bytes:
+    """PAFF stream with B fields (spec 8.2.4.2.4 + 8.2.4.2.5 field B
+    lists): decode order = I pair (display 0), P pair (display 2), B
+    pair (display 1, non-reference).  Each B field's list0 holds past
+    fields and list1 future fields through the parity-alternating field
+    list construction; MBs mix B_L0/B_L1/B_Bi_16x16 with explicit refs
+    and small MVDs (no direct modes, no residual), so a wrong field B
+    list, PicNum, or bipred average breaks byte-equality against the
+    libavcodec golden."""
+    sps = field_sps(mb_w, map_units)
+    pps = PPS()
+    out = [_nal(7, 3, write_sps(sps)), _nal(8, 3, write_pps(pps))]
+    n = mb_w * map_units
+
+    def emit(disp: int, fn: int, parity: int, stype: int, idr: bool,
+             ref: bool) -> None:
+        w = BitWriter()
+        hdr = _field_hdr(fn, parity, stype, sps, idr)
+        hdr.pic_order_cnt_lsb = (2 * disp + (parity - 1)) % \
+            (1 << sps.log2_max_pic_order_cnt_lsb)
+        hdr.frame_num = fn % (1 << sps.log2_max_frame_num)
+        hdr.nal_ref_idc = 3 if ref else 0
+        if stype in (0, 1):
+            hdr.num_ref_idx_active_override_flag = 1
+            hdr.num_ref_idx_l0_active = 2
+            if stype == 1:
+                hdr.num_ref_idx_l1_active = 2
+        write_slice_header(w, hdr, sps, pps)
+        rng = np.random.default_rng(5600 + 4 * disp + parity)
+        if stype == 2:
+            for addr in range(n):
+                w.ue(25)
+                _write_pcm_samples(w, *_pcm_mb(addr, 2 * disp + parity - 1,
+                                               mb_w))
+        elif stype == 0:
+            for addr in range(n):
+                w.ue(0)                       # mb_skip_run
+                w.ue(0)                       # P_L0_16x16
+                w.te(int(rng.integers(0, 2)), 1)
+                w.se(int(rng.integers(-6, 7)))
+                w.se(int(rng.integers(-6, 7)))
+                w.ue(0)                       # cbp 0
+        else:                                 # B slice
+            for addr in range(n):
+                w.ue(0)                       # mb_skip_run
+                bt = int(rng.integers(1, 4))  # B_L0/B_L1/B_Bi_16x16
+                w.ue(bt)
+                if bt in (1, 3):
+                    w.te(int(rng.integers(0, 2)), 1)   # ref_idx_l0
+                if bt in (2, 3):
+                    w.te(int(rng.integers(0, 2)), 1)   # ref_idx_l1
+                for _ in range(2 if bt == 3 else 1):
+                    w.se(int(rng.integers(-6, 7)))     # mvd x
+                    w.se(int(rng.integers(-6, 7)))     # mvd y
+                w.ue(0)                       # cbp 0
+        w.rbsp_trailing_bits()
+        out.append(_nal(5 if idr else 1, hdr.nal_ref_idc, w.get_bytes()))
+
+    for parity in (1, 2):                     # I pair, display 0
+        emit(0, 0, parity, 2, idr=parity == 1, ref=True)
+    for parity in (1, 2):                     # P pair, display 2
+        emit(2, 1, parity, 0, idr=False, ref=True)
+    for parity in (1, 2):                     # B pair, display 1, non-ref
+        emit(1, 2, parity, 1, idr=False, ref=False)
+    return b"".join(out)
+
+
 def make_field_p_stream(mb_w: int = 6, map_units: int = 4,
                         n_frames: int = 3) -> bytes:
     """PAFF stream with P fields: frame 0 is an I field pair (PCM), the
