@@ -29,7 +29,7 @@ _LIB_PATH = _REPO / "cpp" / "libh264entropy.so"
 _SRC = [_REPO / "cpp" / "entropy.cpp", _REPO / "cpp" / "entropy_mb.inc",
         _REPO / "cpp" / "entropy_inter.inc", _REPO / "cpp" / "tables_gen.h"]
 
-ABI_VERSION = 4
+ABI_VERSION = 5
 
 
 class _PicBuf(C.Structure):
@@ -45,7 +45,8 @@ class _PicBuf(C.Structure):
         "refslot", "refid",
         "tc_luma", "tc_cb", "tc_cr", "mode_map", "slice_map", "mv_grid",
         "ref_grid", "order_grid", "direct_grid", "cbf_luma", "cbf_luma_dc",
-        "cbf_cdc", "cbf_cac", "mvd_grid")]
+        "cbf_cdc", "cbf_cac", "mvd_grid",
+        "nzr_l4", "nzr_l8", "nzr_ca", "nzr_ldc", "nzr_cdc", "nzr_cnt")]
 
 
 class _SliceParams(C.Structure):
@@ -133,6 +134,11 @@ def load_lib(sanitize: bool | None = None, trace: bool = False):
     lib.h264e_scan_blocks8.argtypes = [
         C.c_void_p, C.c_long, C.c_int, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_long, C.c_long, C.POINTER(C.c_long), C.POINTER(C.c_int)]
+    lib.h264e_gather_blocks8.restype = C.c_long
+    lib.h264e_gather_blocks8.argtypes = [
+        C.c_void_p, C.c_long, C.c_int, C.c_void_p, C.c_long, C.c_void_p,
+        C.c_void_p, C.c_void_p, C.c_long, C.c_long, C.POINTER(C.c_long),
+        C.POINTER(C.c_int)]
     lib.h264e_scan_inter.restype = C.c_long
     lib.h264e_scan_inter.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_long, C.c_void_p,
@@ -211,6 +217,33 @@ def scan_blocks8(src2d: np.ndarray, cap_r: int, cap_v: int):
                                _ptr(vals), cap_r, cap_v, C.byref(nnz),
                                C.byref(ovf))
     gil_meter.add(time.perf_counter() - t0)
+    return int(k), idx, bm, vals, int(nnz.value), bool(ovf.value)
+
+
+def gather_blocks8(src2d: np.ndarray, rows_hint: np.ndarray,
+                   cap_r: int, cap_v: int):
+    """Hinted scan_blocks8: visit only the decode-time recorded rows.
+
+    Returns the scan_blocks8 tuple, or None when the hint is unusable
+    (non-ascending rows, e.g. ASO) — the caller falls back to the full
+    scan.  Output is byte-identical to scan_blocks8 (all-zero hinted
+    rows are skipped in C)."""
+    lib = load_lib()
+    rows, cols = src2d.shape
+    bmw = (cols + 15) // 16
+    idx = np.empty(cap_r, np.int32)
+    bm = np.empty((cap_r, bmw), np.uint16)
+    vals = np.empty(cap_v, np.int8)
+    nnz = C.c_long(0)
+    ovf = C.c_int(0)
+    t0 = time.perf_counter() if gil_meter.enabled else 0.0
+    k = lib.h264e_gather_blocks8(
+        _ptr(src2d), rows, cols, _ptr(rows_hint), len(rows_hint),
+        _ptr(idx), _ptr(bm), _ptr(vals), cap_r, cap_v,
+        C.byref(nnz), C.byref(ovf))
+    gil_meter.add(time.perf_counter() - t0)
+    if k < 0:
+        return None
     return int(k), idx, bm, vals, int(nnz.value), bool(ovf.value)
 
 
@@ -363,6 +396,10 @@ def _alloc_arrays(mb_w: int, mb_h: int) -> dict:
         "cbf_luma": z(h4, w4), "cbf_luma_dc": z(mb_h, mb_w),
         "cbf_cdc": z(2, mb_h, mb_w), "cbf_cac": z(2, h2, w2),
         "mvd_grid": z(2, h4, w4, 2),
+        # nonzero-row hints (decode-time, ops/wire fast path); caps are
+        # the full grids so appends never overflow
+        "nzr_l4": z(n * 16), "nzr_l8": z(n * 4), "nzr_ca": z(n * 8),
+        "nzr_ldc": z(n), "nzr_cdc": z(n), "nzr_cnt": z(5),
     }
 
 
@@ -411,10 +448,22 @@ class CppPictureParse:
                 ("order_grid", "order_grid"), ("direct_grid", "direct_grid"),
                 ("cbf_luma", "cbf_luma"), ("cbf_luma_dc", "cbf_luma_dc"),
                 ("cbf_cdc", "cbf_cdc"), ("cbf_cac", "cbf_cac"),
-                ("mvd_grid", "mvd_grid")):
+                ("mvd_grid", "mvd_grid"),
+                ("nzr_l4", "nzr_l4"), ("nzr_l8", "nzr_l8"),
+                ("nzr_ca", "nzr_ca"), ("nzr_ldc", "nzr_ldc"),
+                ("nzr_cdc", "nzr_cdc"), ("nzr_cnt", "nzr_cnt")):
             setattr(self.pb, name, _ptr(a[key]))
         load_lib(trace=self._trace).h264e_reset_pic(C.byref(self.pb))
         self._keepalive = []
+
+    def nz_row_hints(self) -> dict:
+        """Decode-time nonzero coeff rows per wire field (views into the
+        pooled buffers — valid until retire()).  Keys match
+        ops/wire._COEFF_FIELDS short names."""
+        a, cnt = self.a, self.a["nzr_cnt"]
+        return {"l4": a["nzr_l4"][:cnt[0]], "l8": a["nzr_l8"][:cnt[1]],
+                "ca": a["nzr_ca"][:cnt[2]], "ldc": a["nzr_ldc"][:cnt[3]],
+                "cdc": a["nzr_cdc"][:cnt[4]]}
 
     def retire(self) -> None:
         """Return the arrays to the pool (caller: api.Decoder, once the
@@ -562,4 +611,8 @@ def pack_frame_cpp(pic: CppPictureParse, cur_poc: int = 0) -> FrameABI:
     note_nonexisting_refs(abi, pic.slice_reflists)
     fill_weight_tables(abi, pic.pps, pic.headers, pic.slice_reflists,
                        cur_poc)
+    # decode-time nonzero-row hints for pack_wire_raw (gather instead of
+    # full dense rescan); safe under conceal (it only ZEROES rows, and
+    # the gather skips all-zero hinted rows)
+    abi["_nzr"] = pic.nz_row_hints()
     return abi

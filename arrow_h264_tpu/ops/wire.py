@@ -414,15 +414,24 @@ def pack_wire_raw(abi, mb_w: int, mb_h: int):
             raw["nu_k"] = k
 
     try:
-        from ..host.centropy import scan_blocks8
+        from ..host.centropy import gather_blocks8, scan_blocks8
     except Exception:
-        scan_blocks8 = None
+        scan_blocks8 = gather_blocks8 = None
+    nzr = abi.get("_nzr")
     for f, key, cpm, w in _COEFF_FIELDS:
         grid = n * cpm
         src = np.ascontiguousarray(abi[key], np.int32).reshape(grid, w)
         cap_r = grid // 2 + 1
         cap_v = grid * w // 4 + 1
-        if scan_blocks8 is not None:
+        res = None
+        if nzr is not None and gather_blocks8 is not None and f in nzr:
+            # decode-time row hints: touch only recorded rows (falls
+            # back to the full scan on unsorted hints, e.g. ASO)
+            res = gather_blocks8(src, np.ascontiguousarray(
+                nzr[f], np.int32), cap_r, cap_v)
+        if res is not None:
+            k, idx_buf, bm_buf, val_buf, nnz, ovf = res
+        elif scan_blocks8 is not None:
             k, idx_buf, bm_buf, val_buf, nnz, ovf = \
                 scan_blocks8(src, cap_r, cap_v)
         else:

@@ -563,6 +563,20 @@ struct PicBuf {
   int32_t* cbf_cdc;      // [2,mbh,mbw]
   int32_t* cbf_cac;      // [2,h2,w2]
   int32_t* mvd_grid;     // [2,h4,w4,2]
+  // Nonzero-row hints recorded AT DECODE TIME so the wire pack can
+  // gather known rows instead of rescanning the dense coeff arrays
+  // (~8 MB/frame of read traffic at 1080p).  Row indices are into the
+  // wire's flattened layouts (luma4 [n*16,16], luma8 [n*4,64],
+  // chroma_ac [n*8,16], luma_dc [n,16], chroma_dc [n,8]); appended in
+  // ascending order for in-order slices (the gather verifies and falls
+  // back to a full scan otherwise, e.g. ASO).  Counts in nzr_cnt[0..4]
+  // ordered (l4, l8, ca, ldc, cdc) to match ops/wire._COEFF_FIELDS.
+  int32_t* nzr_l4;
+  int32_t* nzr_l8;
+  int32_t* nzr_ca;
+  int32_t* nzr_ldc;
+  int32_t* nzr_cdc;
+  int32_t* nzr_cnt;      // [5]
 };
 
 struct SliceParams {
@@ -1129,6 +1143,55 @@ extern "C" long h264e_scan_blocks8(const int32_t* src, long rows, int cols,
     if (H264E_LIKELY(acc == 0)) continue;
     if (k < cap_r) {
       idx[k] = (int32_t)r;
+      uint16_t* b = bm + k * bmw;
+      for (int wgrp = 0; wgrp < bmw; wgrp++) {
+        uint16_t m = 0;
+        const int base = wgrp * 16;
+        const int lim = cols - base < 16 ? cols - base : 16;
+        for (int c = 0; c < lim; c++) {
+          int32_t x = p[base + c];
+          if (x == 0) continue;
+          m |= (uint16_t)(1u << c);
+          if (H264E_UNLIKELY(x < -128 || x > 127)) ovf = 1;
+          if (nv < cap_v) vals[nv] = (int8_t)x;
+          nv++;
+        }
+        b[wgrp] = m;
+      }
+    }
+    k++;
+  }
+  *nnz_total = nv;
+  *overflow = ovf | (nv > cap_v);
+  return k;
+}
+
+// Hinted variant of h264e_scan_blocks8: visit only the rows the parser
+// recorded at decode time (PicBuf::nzr_*) instead of scanning the whole
+// dense array.  Rows must be strictly ascending and in range (in-order
+// slices produce that; ASO does not) — otherwise returns -1 and the
+// caller falls back to the full scan.  All-zero listed rows (e.g. a
+// concealed MB whose partial parse state was wiped) are skipped, so the
+// output is byte-identical to the full scan's.
+extern "C" long h264e_gather_blocks8(const int32_t* src, long rows, int cols,
+                                     const int32_t* ridx, long nr,
+                                     int32_t* idx, uint16_t* bm, int8_t* vals,
+                                     long cap_r, long cap_v,
+                                     long* nnz_total, int* overflow) {
+  const int bmw = (cols + 15) / 16;
+  long k = 0, nv = 0;
+  int ovf = 0;
+  int32_t prev = -1;
+  for (long i = 0; i < nr; i++) {
+    int32_t r = ridx[i];
+    if (H264E_UNLIKELY(r <= prev || r >= rows)) return -1;
+    prev = r;
+    const int32_t* p = src + (long)r * cols;
+    int32_t acc = 0;
+    for (int c = 0; c < cols; c++) acc |= p[c];
+    if (H264E_UNLIKELY(acc == 0)) continue;
+    if (k < cap_r) {
+      idx[k] = r;
       uint16_t* b = bm + k * bmw;
       for (int wgrp = 0; wgrp < bmw; wgrp++) {
         uint16_t m = 0;

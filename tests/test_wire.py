@@ -243,3 +243,50 @@ def test_emit_wire_matches_sections_path():
                            target, n)
         got = emit_wire(raw, spec, target, n)
         assert np.array_equal(ref, got)
+
+
+def test_nz_row_hints_match_full_scan():
+    """The decode-time nonzero-row hints (cpp/entropy_mb.inc nzr_push;
+    PicBuf::nzr_*) must make pack_wire_raw byte-identical to the
+    hint-less full scan on a real CABAC stream — specs, buffers, and
+    the gather's skip-zero-rows semantics all pinned."""
+    from tools import streams
+    from arrow_h264_tpu.api import Decoder
+    from arrow_h264_tpu.ops.wire import emit_wire, pack_wire_raw
+    path = "/tmp/wire_nzr.264"
+    yuv = streams.make_content(176, 144, 5)
+    streams.encode(yuv, 176, 144, path, streams.CONFIG_OPTS[4])
+    data = open(path, "rb").read()
+    zero = (np.zeros((144, 176), np.uint8),
+            np.zeros((72, 88), np.uint8), np.zeros((72, 88), np.uint8))
+    dec = Decoder(entropy="cpp")
+    nf = 0
+    for pic, poc in dec.parse_pictures(data):
+        mb_w = pic.sps.pic_width_in_mbs
+        mb_h = pic.sps.pic_height_in_map_units
+        n = mb_w * mb_h
+        abi = dec.pack_abi(pic, poc)
+        assert "_nzr" in abi           # cpp engine records hints
+        raw_h, spec_h = pack_wire_raw(abi, mb_w, mb_h)
+        bare = dict(abi)
+        bare.pop("_nzr")
+        raw_s, spec_s = pack_wire_raw(bare, mb_w, mb_h)
+        assert spec_h == spec_s
+        assert emit_wire(raw_h, spec_h, spec_h, n).tobytes() == \
+            emit_wire(raw_s, spec_s, spec_s, n).tobytes()
+        list(dec.commit(pic, poc, *zero, 4, lambda *a: None))
+        nf += 1
+    assert nf == 5
+
+
+def test_nz_row_hints_unsorted_falls_back():
+    """gather_blocks8 returns None on a non-ascending hint (the ASO
+    case) so pack_wire_raw silently falls back to the full scan."""
+    from arrow_h264_tpu.host.centropy import gather_blocks8
+    src = np.zeros((8, 16), np.int32)
+    src[2, 3] = 7
+    src[5, 0] = -4
+    ok = gather_blocks8(src, np.array([2, 5], np.int32), 5, 33)
+    assert ok is not None and ok[0] == 2
+    assert gather_blocks8(src, np.array([5, 2], np.int32), 5, 33) is None
+    assert gather_blocks8(src, np.array([5, 99], np.int32), 5, 33) is None
