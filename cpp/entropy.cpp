@@ -1337,8 +1337,12 @@ extern "C" int h264e_select_inter_mode(
   std::vector<uint8_t> viol((size_t)n * 16, 0);
   bool use_l1 = false;
   // (a) envelope violations + slot usage counts (over ALL used cells,
-  // matching np.unique(refslot[used]))
-  std::map<int32_t, long> slot_count;
+  // matching np.unique(refslot[used])).  Flat-array counting: device
+  // DPB slots are small nonneg ints; a std::map here cost ~2 ms/frame
+  // at 1080p (260k lookups).
+  constexpr int kSlotCap = 1024;
+  std::vector<long> slot_count_arr(kSlotCap, 0);
+  std::map<int32_t, long> slot_count;  // overflow fallback (slot >= cap)
   for (long r = 0; r < n; r++) {
     const int32_t* m = mv + r * 64;
     const int32_t* rs = refslot + r * 32;
@@ -1347,7 +1351,8 @@ extern "C" int h264e_select_inter_mode(
         int32_t s = rs[c * 2 + l];
         if (s < 0) continue;
         if (l == 1) use_l1 = true;
-        slot_count[s]++;
+        if (H264E_LIKELY(s < kSlotCap)) slot_count_arr[s]++;
+        else slot_count[s]++;
         int32_t dx = m[c * 4 + l * 2 + 0] >> 2;
         int32_t dy = m[c * 4 + l * 2 + 1] >> 2;
         if (dx < dx_min || dx > dx_max || dy < dy_min || dy > dy_max)
@@ -1355,6 +1360,8 @@ extern "C" int h264e_select_inter_mode(
       }
     }
   }
+  for (int s2 = 0; s2 < kSlotCap; s2++)
+    if (slot_count_arr[s2]) slot_count[s2] = slot_count_arr[s2];
   // (b) slot pressure: keep the max_slots most-referenced slots
   // (stable by ascending slot among count ties)
   std::vector<std::pair<int32_t, long>> sc(slot_count.begin(),
@@ -1381,12 +1388,18 @@ extern "C" int h264e_select_inter_mode(
       }
     }
   }
-  // slot -> kernel index k (ascending slot order, as numpy sorts)
+  // slot -> kernel index k (ascending slot order, as numpy sorts);
+  // flat array (same rationale as slot_count_arr)
   std::map<int32_t, int32_t> kmap;
+  std::vector<int32_t> karr(kSlotCap, -1);
   for (size_t i = 0; i < sc.size(); i++) {
     slot_list[i] = sc[i].first;
     kmap[sc[i].first] = (int32_t)i;
+    if (sc[i].first < kSlotCap) karr[sc[i].first] = (int32_t)i;
   }
+  auto kidx = [&](int32_t s2) -> int32_t {
+    return H264E_LIKELY(s2 < kSlotCap) ? karr[s2] : kmap[s2];
+  };
   // (c) per-band candidate-cap overflow: evict rarest candidates
   // (stable by ascending candidate value among count ties)
   std::vector<int32_t> cands;
@@ -1404,7 +1417,7 @@ extern "C" int h264e_select_inter_mode(
           if (s < 0) continue;
           int32_t dx = m[c * 4 + l * 2 + 0] >> 2;
           int32_t dy = m[c * 4 + l * 2 + 1] >> 2;
-          cands.push_back((kmap[s] << 13) | ((dy + 32) << 7) | (dx + 48));
+          cands.push_back((kidx(s) << 13) | ((dy + 32) << 7) | (dx + 48));
         }
       }
     }
@@ -1438,7 +1451,7 @@ extern "C" int h264e_select_inter_mode(
           if (s < 0) continue;
           int32_t dx = m[c * 4 + l * 2 + 0] >> 2;
           int32_t dy = m[c * 4 + l * 2 + 1] >> 2;
-          int32_t v = (kmap[s] << 13) | ((dy + 32) << 7) | (dx + 48);
+          int32_t v = (kidx(s) << 13) | ((dy + 32) << 7) | (dx + 48);
           if (std::binary_search(evicted.begin(), evicted.end(), v)) {
             viol[r * 16 + c] = 1;
             break;
