@@ -193,7 +193,11 @@ def bench_device_only():
 
 def bench_device_intra():
     """All-intra 1080p device reconstruction (the phase-batched intra
-    kernel path, inter_mode="none") at batch=8."""
+    kernel path, inter_mode="none") at batch=32 — the shipping
+    BatchDecoder batch.  (batch=8 at 1080p faulted the TPU worker on
+    2026-08-19 — a narrow-lane kernel corner under investigation; the
+    same kernel at the 32-lane shipping width ran clean inside the
+    device_recon stage.)"""
     from arrow_h264_tpu.models.pipeline import (
         ABI_DEVICE_KEYS, decode_frames_batch_fn, dpb_alloc,
     )
@@ -201,7 +205,7 @@ def bench_device_intra():
     from arrow_h264_tpu.ops.transforms import make_ws_consts
     from tools.devtime import devtime
     mb_w, mb_h = 120, 68
-    batch = 8
+    batch = 32
     ws4, ws8 = make_ws_consts([[16] * 16] * 6, [[16] * 64] * 2)
     fn = functools.partial(
         decode_frames_batch_fn, mb_w=mb_w, mb_h=mb_h,
@@ -326,8 +330,8 @@ STAGES = {
     # name -> (fn producing a float, timeout_s).  Headline stages FIRST:
     # a later stage that faults the TPU worker (observed 2026-08-19 on
     # device_intra) must not cost the binding number.
-    "e2e_fps": ("bench_e2e", 3600),
-    "e2e_device_resident_fps": ("bench_e2e_device_resident", 2400),
+    "e2e_fps": ("bench_e2e", 5400),
+    "e2e_device_resident_fps": ("bench_e2e_device_resident", 3600),
     "device_recon_fps": ("bench_device_only", 2400),
     "device_patch_fps": ("bench_device_patch", 1800),
     "device_intra_fps": ("bench_device_intra", 1800),
