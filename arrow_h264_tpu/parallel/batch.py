@@ -40,7 +40,8 @@ class BatchDecoder:
     """Decode N same-resolution streams in lockstep, batch-sharded."""
 
     def __init__(self, n_streams: int, mesh: Mesh | None = None,
-                 entropy: str = "cpp", materialize: bool = True):
+                 entropy: str = "cpp", materialize: bool = True,
+                 on_frame=None):
         if mesh is None:
             n_dev = max(1, len(jax.devices()))
             use = n_dev if n_streams % n_dev == 0 else 1
@@ -51,6 +52,16 @@ class BatchDecoder:
         # api.PendingFrame objects (caller finalizes or consumes them
         # on device — e.g. feeding another TPU model)
         self.materialize = materialize
+        # on_frame(lane, frame) -> value: streaming consumer.  Each
+        # newly emitted frame is handed over the moment its round
+        # commits and REPLACED in the returned list by on_frame's
+        # return value, so decode()'s peak HBM residency is bounded by
+        # the DPB + one round instead of every output frame (a 32-lane
+        # 1080p batch holds multi-GB of outputs otherwise).  Requires
+        # materialize=False (frames arrive as device PendingFrames).
+        self.on_frame = on_frame
+        assert on_frame is None or not materialize, \
+            "on_frame streams device frames; use materialize=False"
         self.decoders = [Decoder(entropy=entropy) for _ in range(n_streams)]
         for d in self.decoders:
             # one overlapped device->host copy per ROUND instead of a
@@ -346,14 +357,22 @@ class BatchDecoder:
                 for i, j in in_flight:
                     frames[i][j] = self._finalize_timed(i, frames[i][j])
                 in_flight = new_fetch
+            elif self.on_frame is not None:
+                for i in range(B):
+                    for j in range(mark[i], len(frames[i])):
+                        frames[i][j] = self.on_frame(i, frames[i][j])
             # parse the next round's pictures across host cores while the
             # device round above is still executing (pipeline overlap)
             list(self._pool.map(advance, todo))
 
         for i in range(B):
             if self.errors[i] is None and self.decoders[i].dpb is not None:
+                tail = len(frames[i])
                 frames[i].extend(self.decoders[i]._emit(p)
                                  for p in self.decoders[i].dpb.flush())
+                if self.on_frame is not None:
+                    for j in range(tail, len(frames[i])):
+                        frames[i][j] = self.on_frame(i, frames[i][j])
         # finalize everything still deferred (tail rounds + DPB flush):
         # start every remaining copy first, then materialize
         if self.materialize:

@@ -94,15 +94,25 @@ def bench_e2e_device_resident(datas):
     import jax.numpy as jnp
     from arrow_h264_tpu.parallel.batch import BatchDecoder
     lanes = [datas[i % N_SRC] for i in range(BATCH)]
-    bd = BatchDecoder(n_streams=BATCH, materialize=False)
+    sums = []
+
+    def consume(i, f):
+        # streaming consumer: checksum the frame on device the moment
+        # it is emitted, then DROP the planes — holding every output
+        # frame HBM-resident to the end OOMs (observed r4: 32 lanes x
+        # 24 frames x 1080p on top of the DPB + recon intermediates)
+        sums.append(jnp.sum(f.y.astype(jnp.uint32)))
+        return None
+
+    bd = BatchDecoder(n_streams=BATCH, materialize=False,
+                      on_frame=consume)
     t0 = time.perf_counter()
     frames = bd.decode(lanes)
-    sums = [jnp.sum(f.y.astype(jnp.uint32))     # async per-frame reduces
-            for row in frames for f in row]
     chk = int(jnp.sum(jnp.stack(sums)))         # sync: all frames decoded
     dt = time.perf_counter() - t0
     n = sum(len(f) for f in frames)
     assert n == BATCH * N_FRAMES, (n, BATCH, N_FRAMES)
+    assert len(sums) == n
     return n / dt, chk
 
 

@@ -161,3 +161,30 @@ def test_batch_decoder_device_resident(h264ref, tmp_path):
         mats = [f.finalize() for f in frames]
         ours = np.stack([np.frombuffer(f.planar(), np.uint8) for f in mats])
         assert np.array_equal(ours, golden), f"stream {i} mismatch"
+
+
+def test_batch_decoder_on_frame_streaming(h264ref, tmp_path):
+    """on_frame consumes each output frame the moment its round commits
+    (bounding HBM residency to DPB + one round — bench.py's
+    device-resident stage); every frame must arrive exactly once, in
+    output order, still bit-exact."""
+    from arrow_h264_tpu.api import PendingFrame
+    from arrow_h264_tpu.parallel.batch import BatchDecoder
+    n = len(jax.devices())
+    datas, goldens = _make_streams(tmp_path, n)
+    seen: list[list] = [[] for _ in range(n)]
+
+    def consume(i, f):
+        assert isinstance(f, PendingFrame)
+        seen[i].append(f.finalize())
+        return None                      # drop: decode() keeps nothing
+
+    bd = BatchDecoder(n, materialize=False, on_frame=consume)
+    outs = bd.decode(datas)
+    assert all(e is None for e in bd.errors), bd.errors
+    for i, golden in enumerate(goldens):
+        assert all(f is None for f in outs[i]), i
+        assert len(seen[i]) == len(golden), i
+        ours = np.stack([np.frombuffer(f.planar(), np.uint8)
+                         for f in seen[i]])
+        assert np.array_equal(ours, golden), f"stream {i} mismatch"
