@@ -265,13 +265,13 @@ class Decoder:
                     if self.dpb is None or self._dpb_sps_id !=                             sps.seq_parameter_set_id:
                         self.dpb = DPB(sps)
                         self._dpb_sps_id = sps.seq_parameter_set_id
-                    # FMO pictures take the Python entropy path (the C++
-                    # parser iterates raster-order; SURVEY.md §2 FMO row)
+                    # FMO pictures ride the C++ engine too: the slice
+                    # loop follows a precomputed NextMbAddress table
+                    # (SliceParams.next_mb; SURVEY.md §2 FMO row)
                     cur = (centropy.CppPictureParse(
                                sps, pps, pool=self._pic_pool,
                                trace=self._trace_se is not None)
                            if self.entropy == "cpp"
-                           and pps.num_slice_groups == 1
                            else PictureParse(sps, pps))
                     # spec 8.2.5.2: synthesize non-existing refs for
                     # frame_num gaps; bind them to slot 0 so a (non-

@@ -106,6 +106,19 @@ def mb_slice_group_map(sps, pps, change_cycle: int = 0) -> np.ndarray:
     return m
 
 
+def next_mb_table(sgmap: np.ndarray) -> np.ndarray:
+    """Dense successor table: next_mb[a] = NextMbAddress(a) for every
+    MB address (spec 8.2.2.8); the last MB of each slice group maps to
+    n (end-of-slice sentinel).  The C++ slice loop walks this table
+    instead of raster +1, which is its entire FMO support."""
+    n = len(sgmap)
+    nxt = np.full(n, n, np.int32)
+    for g in np.unique(sgmap):
+        idx = np.flatnonzero(sgmap == g)
+        nxt[idx[:-1]] = idx[1:]
+    return nxt
+
+
 def next_mb_address(sgmap: np.ndarray, addr: int) -> int:
     """NextMbAddress (spec 8.2.2.8): next MB of addr's slice group."""
     g = sgmap[addr]

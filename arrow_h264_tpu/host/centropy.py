@@ -29,7 +29,7 @@ _LIB_PATH = _REPO / "cpp" / "libh264entropy.so"
 _SRC = [_REPO / "cpp" / "entropy.cpp", _REPO / "cpp" / "entropy_mb.inc",
         _REPO / "cpp" / "entropy_inter.inc", _REPO / "cpp" / "tables_gen.h"]
 
-ABI_VERSION = 5
+ABI_VERSION = 6
 
 
 class _PicBuf(C.Structure):
@@ -67,6 +67,7 @@ class _SliceParams(C.Structure):
         ("l1_len", C.c_int32),
         ("l0_slot", C.c_void_p), ("l1_slot", C.c_void_p),
         ("field_pic", C.c_int32),
+        ("next_mb", C.c_void_p),
     ]
 
 
@@ -455,6 +456,9 @@ class CppPictureParse:
             setattr(self.pb, name, _ptr(a[key]))
         load_lib(trace=self._trace).h264e_reset_pic(C.byref(self.pb))
         self._keepalive = []
+        # FMO: NextMbAddress tables per slice_group_change_cycle (types
+        # 3-5 re-derive the map per slice; static types share one entry)
+        self._fmo_tabs: dict[int, np.ndarray] = {}
 
     def nz_row_hints(self) -> dict:
         """Decode-time nonzero coeff rows per wire field (views into the
@@ -497,6 +501,16 @@ class CppPictureParse:
             field_pic=hdr.field_pic_flag,
         )
         keep = []
+        if self.pps.num_slice_groups > 1:
+            from ..bitstream.fmo import mb_slice_group_map, next_mb_table
+            cc = getattr(hdr, "slice_group_change_cycle", 0) or 0
+            tab = self._fmo_tabs.get(cc)
+            if tab is None:
+                tab = next_mb_table(
+                    mb_slice_group_map(self.sps, self.pps, cc))
+                self._fmo_tabs[cc] = tab
+            sp.next_mb = _ptr(tab)
+            keep.append(tab)
         if hdr.is_b and len(l1):
             col = l1[0]
             if col.col_mv is not None:

@@ -604,6 +604,9 @@ struct SliceParams {
   const int32_t* l0_slot; const int32_t* l1_slot;  // device DPB slot per idx
   int32_t field_pic;     // coded FIELD picture (PAFF): field scans + field
                          // CABAC significance contexts (Tables 8-14 / 9-40)
+  const int32_t* next_mb;  // FMO: dense NextMbAddress table (spec 8.2.2.8),
+                           // next_mb[a] == n signals end of slice group;
+                           // null = raster order (single slice group)
 };
 
 // ---------------------------------------------------------------------------

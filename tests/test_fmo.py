@@ -41,6 +41,29 @@ def test_fmo_map_types_bit_exact(scenario):
         assert np.array_equal(ours, golden[j]), (scenario, j)
 
 
+def test_fmo_rides_cpp_engine(monkeypatch):
+    """FMO pictures must parse on the shipped C++ engine (the slice
+    loop follows SliceParams.next_mb), not silently fall back to the
+    Python path: instantiating the Python PictureParse here is a
+    routing regression."""
+    import arrow_h264_tpu.api as api_mod
+    from arrow_h264_tpu.api import Decoder
+
+    def boom(*a, **k):
+        raise AssertionError("FMO fell back to the Python parser")
+
+    monkeypatch.setattr(api_mod, "PictureParse", boom)
+    pps_kwargs, cycle = SCENARIOS["dispersed_t1"]
+    data = make_fmo_stream(pps_kwargs, n_frames=2, change_cycle=cycle)
+    golden = pcm_golden(pps_kwargs, n_frames=2, change_cycle=cycle)
+    dec = Decoder(entropy="cpp")
+    got = [np.concatenate([f.y.ravel(), f.cb.ravel(), f.cr.ravel()])
+           for f in dec.decode_annexb(data)]
+    assert len(got) == len(golden)
+    for j, ours in enumerate(got):
+        assert np.array_equal(ours, golden[j]), j
+
+
 def test_aso_slice_order_bit_exact():
     """ASO: the slices of each picture arrive in reverse group order
     (the MB-0 slice mid-picture), exercising the header-change picture
