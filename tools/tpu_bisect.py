@@ -83,7 +83,18 @@ def probe_mc(B, mb_w=MB_W, mb_h=MB_H, mode="pl0"):
     hosts, sls = [], []
     for i in range(B):
         abi = synthetic_abi_p(mb_w, mb_h, seed=i, n_slots=n_slots)
+        if mode.endswith("p"):
+            # mirror bench_device_patch: 5% wild out-of-envelope MVs so
+            # the hybrid patch repair actually engages
+            rng = np.random.default_rng(77 + i)
+            n = mb_w * mb_h
+            wild = rng.random((n, 4, 4)) < 0.05
+            wmv = rng.integers(-512, 512, (n, 4, 4, 2, 2)).astype(np.int32)
+            abi["mv"] = np.where(wild[..., None, None], wmv, abi["mv"])
         m, sl, patch = select_inter_mode(abi, mb_w, mb_h)
+        if mode.endswith("p"):
+            assert m.endswith("p"), m
+            mode = m
         abi["patch"] = patch
         hosts.append(abi)
         sls.append(sl)
@@ -120,6 +131,8 @@ PROBES = {
     "deblock_b32": lambda: probe_deblock(32),
     "mc_b8": lambda: probe_mc(8),
     "mc_b32": lambda: probe_mc(32),
+    "mc_b8_pl0p": lambda: probe_mc(8, mode="pl0p"),
+    "mc_b32_pl0p": lambda: probe_mc(32, mode="pl0p"),
 }
 
 
@@ -127,6 +140,7 @@ def main():
     if len(sys.argv) > 1:
         PROBES[sys.argv[1]]()
         return
+    import time
     for name in PROBES:
         try:
             r = subprocess.run([sys.executable, __file__, name],
@@ -137,6 +151,11 @@ def main():
         except subprocess.TimeoutExpired:
             ok, tail = False, "TIMEOUT"
         print(f"{name:16s} {'PASS' if ok else 'FAIL'}  {tail}", flush=True)
+        if not ok and "crashed" in tail:
+            # a kernel fault kills the TPU worker; give it time to
+            # restart so the NEXT probe measures itself, not the corpse
+            print("# worker crash; 75s cooldown", flush=True)
+            time.sleep(75)
 
 
 if __name__ == "__main__":
