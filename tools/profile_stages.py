@@ -115,6 +115,11 @@ timeit("store_ref (vmap halfpel+pack)", f_store, dpb_y, dpb_c,
        y3[0].astype(jnp.uint8), y3[1].astype(jnp.uint8),
        y3[2].astype(jnp.uint8))
 
+# free every per-stage output before the full-pipeline probe: at B=32
+# 1080p the retained intermediates (preds, residuals, initials, tables)
+# exhaust HBM alongside the full graph's own live set (observed r4)
+del prep, pred, res, init_y, init_cb, init_cr, y3, tables, abi_w, sub, abi_i
+
 f_all = jax.jit(functools.partial(
     decode_frames_batch_fn, mb_w=mb_w, mb_h=mb_h, ws4=ws4, ws8=ws8,
     cqp_off=(0, 0), n_streams=B, inter_mode="pl0"))
