@@ -283,9 +283,14 @@ def decode_frames_batch_fn(abi_b: dict, dpb_y_b, dpb_c_b, slots_b, *,
         return out
     iy, icb, icr, ry, rcb, rcr, tb = out
     abi_i = {k: abi_b[k] for k in INTRA_ABI_KEYS}
-    ys, cbs, crs = intra_phase_batch(abi_i, ry, rcb, rcr, iy, icb, icr,
-                                     mb_w, mb_h)
-    yb, cbb, crb = deblock_phase_batch(ys, cbs, crs, tb, mb_w, mb_h)
+    # intra hands deblock its outputs in the shared skewed block layout
+    # (raw_out/in_blocks): the two kernels' plane layouts are identical
+    # up to vertical pad, so the unskew->reskew relayout pair (two full
+    # [B, H, W] HBM round-trips per frame) is elided
+    yblk, cblk, B0 = intra_phase_batch(abi_i, ry, rcb, rcr, iy, icb, icr,
+                                       mb_w, mb_h, raw_out=True)
+    yb, cbb, crb = deblock_phase_batch(None, None, None, tb, mb_w, mb_h,
+                                       in_blocks=(yblk, cblk, B0))
     return (yb.astype(jnp.uint8), cbb.astype(jnp.uint8),
             crb.astype(jnp.uint8))
 

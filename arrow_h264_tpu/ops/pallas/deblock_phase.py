@@ -393,31 +393,49 @@ def _run_plane(blocks, vmap_, hmap_, mb_w: int, mb_h: int, NS: int,
 
 
 def deblock_phase_batch(y, cb, cr, tables, mb_w: int, mb_h: int,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        in_blocks=None):
     """Knight-phase batched deblock.  y [B, H, W] int32 (cb/cr half res),
     tables: dict of STACKED [B, ...] deblock_tables outputs.
-    Returns filtered (y, cb, cr) int32."""
-    B0, H, W = y.shape
+    Returns filtered (y, cb, cr) int32.
+
+    in_blocks=(y_blocks, c_blocks, B0): take the inputs directly in the
+    skewed block layout from intra_phase_batch(raw_out=True) — same
+    horizontal skew/lane packing; intra's luma vertical pad (row_px=16)
+    is trimmed to this kernel's RPAD=8, chroma pads already match.
+    Elides the unskew->reskew HBM round-trip between the stages; y/cb/cr
+    are ignored (pass None)."""
     NP = n_phases(mb_w, mb_h)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
 
-    # Pad the stream batch to a multiple of 8 so every lane dimension is a
-    # multiple of 128 (Mosaic DMA tiling).  Dummy lanes cost no extra
-    # vector instructions (ops were lane-padded anyway).
-    B = max(8, -(-B0 // 8) * 8)
-    if B != B0:
-        pad = ((0, B - B0), (0, 0), (0, 0))
-        y = jnp.pad(y, pad)
-        cb = jnp.pad(cb, pad)
-        cr = jnp.pad(cr, pad)
-        tables = {k: jnp.pad(v, ((0, B - B0),) + ((0, 0),) * (v.ndim - 1))
-                  for k, v in tables.items()}
+    if in_blocks is not None:
+        yblk, cblk, B0 = in_blocks
+        B = yblk.shape[2] // 16      # lane = c*B + s
+        if B != B0:
+            tables = {k: jnp.pad(v, ((0, B - B0),) + ((0, 0),) * (v.ndim - 1))
+                      for k, v in tables.items()}
+        blocks = yblk[:, 16 - RPAD:-(16 - RPAD), :]
+        cblocks_in = cblk           # chroma pad row_px=8 == RPAD
+    else:
+        B0 = y.shape[0]
+        # Pad the stream batch to a multiple of 8 so every lane dimension
+        # is a multiple of 128 (Mosaic DMA tiling).  Dummy lanes cost no
+        # extra vector instructions (ops were lane-padded anyway).
+        B = max(8, -(-B0 // 8) * 8)
+        if B != B0:
+            pad = ((0, B - B0), (0, 0), (0, 0))
+            y = jnp.pad(y, pad)
+            cb = jnp.pad(cb, pad)
+            cr = jnp.pad(cr, pad)
+            tables = {k: jnp.pad(v, ((0, B - B0),) + ((0, 0),) * (v.ndim - 1))
+                      for k, v in tables.items()}
 
-    # --- luma: blocks over skewed cols [0, (NP+3)*16), lead 2.5 blocks
-    sk = _skew(y.astype(jnp.uint8), mb_h, 16, 32, 40, (NP + 3) * 16)
-    blocks = _to_blocks(sk, 16)
+        # --- luma: blocks over skewed cols [0, (NP+3)*16), lead 2.5 blocks
+        sk = _skew(y.astype(jnp.uint8), mb_h, 16, 32, 40, (NP + 3) * 16)
+        blocks = _to_blocks(sk, 16)
     vm = _vmeta(tables["bs_v"].reshape(B, n, 4, 4),
                 tables["tc_v"].reshape(B, n, 4, 4),
                 tables["a_v"].reshape(B, n, 4),
@@ -431,9 +449,12 @@ def deblock_phase_batch(y, cb, cr, tables, mb_w: int, mb_h: int,
         .astype(jnp.int32)
 
     # --- chroma: cb and cr as 2B lane-streams (plane-specific tc/a/b)
-    c2 = jnp.concatenate([cb, cr], axis=0).astype(jnp.uint8)
-    skc = _skew(c2, mb_h, 8, 16, 20, (NP + 3) * 8)
-    cblocks = _to_blocks(skc, 8)
+    if in_blocks is not None:
+        cblocks = cblocks_in
+    else:
+        c2 = jnp.concatenate([cb, cr], axis=0).astype(jnp.uint8)
+        skc = _skew(c2, mb_h, 8, 16, 20, (NP + 3) * 8)
+        cblocks = _to_blocks(skc, 8)
     bs_c = tables["bs_c"].reshape(B, n, 2, 2, 4)
     tc_c = tables["tc_c"].reshape(B, n, 2, 2, 4, 2)
     a_c = tables["a_c"].reshape(B, n, 2, 2, 2)

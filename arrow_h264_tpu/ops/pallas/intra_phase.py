@@ -680,11 +680,19 @@ def _run_intra_plane(blocks, rblocks, meta, mb_w: int, mb_h: int, B: int,
 
 def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
                       init_cr, mb_w: int, mb_h: int,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      raw_out: bool = False):
     """Batched knight-phase intra reconstruction.
 
     abi_b: dict of STACKED [B, ...] ABI arrays; planes [B, H, W] int32.
-    Returns (y, cb, cr) int32 [B, ...]."""
+    Returns (y, cb, cr) int32 [B, ...].
+
+    raw_out=True returns (y_blocks, c_blocks, B0) in the SKEWED block
+    layout instead (uint8, lane = c*B + s) for direct handoff to
+    deblock_phase_batch(in_blocks=...): the layouts are identical up to
+    the vertical pad (this kernel pads row_px=16/8; deblock RPAD=8), so
+    the unskew->reskew relayout pair between the stages is elided —
+    two full [B, H, W] HBM round-trips per frame."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B0 = init_y.shape[0]
@@ -726,8 +734,10 @@ def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
     rblocks = _to_blocks16(rsk, 16, jnp.int16)
     outb = _run_intra_plane(blocks, rblocks, md_y, mb_w, mb_h, B, True,
                             interpret)
-    y_out = _unskew16(_from_blocks16(outb, B), mb_h, 16, 32, 40, W) \
-        .astype(jnp.int32)
+    y_out = None
+    if not raw_out:
+        y_out = _unskew16(_from_blocks16(outb, B), mb_h, 16, 32, 40, W) \
+            .astype(jnp.int32)
 
     # --- chroma (cb, cr as 2B lane-streams)
     c2 = jnp.concatenate([init_cb, init_cr], axis=0).astype(jnp.uint8)
@@ -739,6 +749,8 @@ def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
     rcblocks = _to_blocks16(rskc, 8, jnp.int16)
     outc = _run_intra_plane(cblocks, rcblocks, md_c, mb_w, mb_h, 2 * B,
                             False, interpret)
+    if raw_out:
+        return outb, outc, B0
     cfl = _unskew16(_from_blocks16(outc, 2 * B), mb_h, 8, 16, 20, W // 2) \
         .astype(jnp.int32)
     return y_out[:B0], cfl[:B0], cfl[B:B + B0]

@@ -45,12 +45,30 @@ def test_batch_720p_two_gops_wire_sticky(h264ref, tmp_path):
         assert np.array_equal(ours, golden), f"stream {i} mismatch"
 
     # sticky-spec convergence: the merged wire spec may only GROW, and
-    # each growth is one new unpack structure (one jit trace).  Over 20
-    # rounds x 8 lanes of real High/CABAC content the spec must settle
-    # after a handful of growths — a flapping spec would recompile the
-    # sharded pipeline every round (round-3 sticky-spec design goal).
+    # each growth is one new unpack structure (one jit trace).  The
+    # sticky spec is per CLASS (ops.wire.spec_class: dense I-rounds vs
+    # sparse P/B-rounds), so the budget is (a few growths) x 2 classes —
+    # a flapping spec would recompile the sharded pipeline every round
+    # (round-3 sticky-spec design goal).
     info1 = wire.unpack_fn.cache_info()
     new_specs = info1.misses - info0.misses
-    assert new_specs <= 5, f"wire spec flapped: {new_specs} distinct specs"
-    # mode lattice must also settle into few compiled variants
-    assert len(bd._fns) <= 3, sorted(bd._fns)
+    assert new_specs <= 10, f"wire spec flapped: {new_specs} distinct specs"
+    # mode lattice is CLOSED: every compiled variant must be one of the
+    # five lattice points (I rounds -> none; P/B rounds -> pl0/pl01,
+    # +p when any lane carries patch evictions), so compile count is
+    # bounded by 5 regardless of round count
+    assert set(bd._fns) <= {"none", "pl0", "pl01", "pl0p", "pl01p"}, \
+        sorted(bd._fns)
+
+    # determinism of convergence: an identical second decode must reuse
+    # every unpack structure the first one traced (zero new misses) —
+    # growth that differed run-to-run WOULD be flapping
+    bd2 = BatchDecoder(n)
+    outs2 = bd2.decode(datas)
+    assert all(e is None for e in bd2.errors), bd2.errors
+    info2 = wire.unpack_fn.cache_info()
+    assert info2.misses == info1.misses, \
+        f"non-deterministic spec growth: {info2.misses - info1.misses} new"
+    for i, (frs, golden) in enumerate(zip(outs2, goldens)):
+        ours = np.stack([np.frombuffer(f.planar(), np.uint8) for f in frs])
+        assert np.array_equal(ours, golden), f"stream {i} 2nd-run mismatch"

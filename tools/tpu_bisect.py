@@ -62,7 +62,8 @@ def probe_deblock(B, mb_w=MB_W, mb_h=MB_H):
     from arrow_h264_tpu.ops.synthetic import synthetic_abi
     hosts = [synthetic_abi(mb_w, mb_h, seed=i) for i in range(B)]
     tabs = [jax.jit(functools.partial(deblock_tables, mb_w=mb_w, mb_h=mb_h,
-                                      cqp_off=(0, 0)))(h) for h in hosts]
+                                      cqp_off=(0, 0)))(dict(h))
+            for h in hosts]   # plain dict: FrameABI is not a pytree
     tb = {k: jnp.stack([t[k] for t in tabs]) for k in tabs[0]}
     y, cb, cr = _planes(B, mb_w, mb_h)
     yo, cbo, cro = deblock_phase_batch(
