@@ -748,6 +748,12 @@ struct Parser {
       }
     }
 
+    // spec 9.2.3 bounds; CORRUPT streams violate them (the VLC tables
+    // alone don't: run_before's zl>6 codes reach 14 regardless of the
+    // actual zeros left) and a negative placement index writes below
+    // the caller's coefficient buffer (ASAN fuzz find, 2026-08-19)
+    if (total_coeff + total_zeros > max_coeff) { r.error = true; return 0; }
+
     int runs[64];
     int zeros_left = total_zeros;
     for (int i = 0; i < total_coeff - 1; i++) {
@@ -758,6 +764,7 @@ struct Parser {
         int len = kRunLen[zl][p];
         if (len == 0) { r.error = true; return 0; }
         runs[i] = kRunVal[zl][p];
+        if (runs[i] > zeros_left) { r.error = true; return 0; }
         r.skip_vlc(len);
       }
       zeros_left -= runs[i];
