@@ -699,7 +699,15 @@ def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
     H, W = mb_h * 16, mb_w * 16
     NP = n_phases(mb_w, mb_h)
     n = mb_w * mb_h
-    B = max(8, -(-B0 // 8) * 8)
+    # Lane pad.  At wide geometries the kernel HANGS the TPU worker for
+    # B=8/16 (observed 2026-08-19 on 1080p: intra_b8/intra_b16 probes
+    # hang, B=32 and QCIF-B=8 run clean — tools/tpu_bisect.py); until
+    # the Mosaic-level cause is pinned, pad those shapes to the known-
+    # good 32 lanes/block.  The phase kernel's per-batch cost is near-
+    # constant in B (lanes vectorize), so the padding costs HBM space,
+    # not time.
+    min_b = 32 if mb_w >= 40 else 8
+    B = max(min_b, -(-B0 // 8) * 8)
     if B != B0:
         pad = ((0, B - B0), (0, 0), (0, 0))
         init_y = jnp.pad(init_y, pad)

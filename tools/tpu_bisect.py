@@ -128,6 +128,8 @@ PROBES = {
     "intra_b16": lambda: probe_intra(16),
     "intra_b32": lambda: probe_intra(32),
     "intra_b8_qcif": lambda: probe_intra(8, 11, 9),
+    "intra_b8_vga": lambda: probe_intra(8, 40, 30),
+    "intra_b8_720p": lambda: probe_intra(8, 80, 45),
     "deblock_b8": lambda: probe_deblock(8),
     "deblock_b32": lambda: probe_deblock(32),
     "mc_b8": lambda: probe_mc(8),
