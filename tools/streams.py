@@ -16,6 +16,17 @@ REPO = Path(__file__).resolve().parent.parent
 H264REF = REPO / "tools" / "h264ref"
 
 
+def ensure_h264ref() -> str:
+    """Build the oracle CLI on demand (the binary is gitignored, so a
+    fresh checkout — e.g. the driver's bench box — has only the .c)."""
+    src = REPO / "tools" / "h264ref.c"
+    if not H264REF.exists() or H264REF.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["gcc", "-O2", "-o", str(H264REF), str(src),
+             "-lavcodec", "-lavutil"], check=True)
+    return str(H264REF)
+
+
 def make_content(width: int, height: int, n_frames: int, seed: int = 0,
                  motion: bool = True, noise: int = 12) -> np.ndarray:
     """Synthesize YUV420 content with gradients, texture, edges, and motion.
@@ -57,7 +68,7 @@ def encode(yuv: np.ndarray, width: int, height: int, out_path: str,
     tmp.write_bytes(yuv.tobytes())
     try:
         subprocess.run(
-            [str(H264REF), "encode", str(tmp), f"{width}x{height}",
+            [ensure_h264ref(), "encode", str(tmp), f"{width}x{height}",
              str(n), str(fps), out_path, *opts],
             check=True, capture_output=True,
         )
@@ -73,7 +84,7 @@ def golden_decode(stream_path: str) -> tuple[np.ndarray, int, int]:
     """
     out = Path(stream_path).with_suffix(".golden.yuv.tmp")
     try:
-        r = subprocess.run([str(H264REF), "decode", stream_path, str(out)],
+        r = subprocess.run([ensure_h264ref(), "decode", stream_path, str(out)],
                            check=True, capture_output=True, text=True)
         n, w, h = map(int, r.stdout.split())
         data = np.frombuffer(out.read_bytes(), dtype=np.uint8)
