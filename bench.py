@@ -95,13 +95,23 @@ def bench_e2e_device_resident(datas):
     from arrow_h264_tpu.parallel.batch import BatchDecoder
     lanes = [datas[i % N_SRC] for i in range(BATCH)]
     sums = []
+    chk_fn = jax.jit(lambda y: jnp.sum(y.astype(jnp.uint32)))
 
     def consume(i, f):
         # streaming consumer: checksum the frame on device the moment
         # it is emitted, then DROP the planes — holding every output
         # frame HBM-resident to the end OOMs (observed r4: 32 lanes x
-        # 24 frames x 1080p on top of the DPB + recon intermediates)
-        sums.append(jnp.sum(f.y.astype(jnp.uint32)))
+        # 24 frames x 1080p on top of the DPB + recon intermediates).
+        # One jitted program (not op-by-op), and a one-scalar readback
+        # every BATCH frames: with no materialization the host otherwise
+        # runs arbitrarily far ahead and the axon tunnel chokes on the
+        # unbounded dispatch queue (observed 2026-08-19/20: this stage
+        # hung in wait_woken while the materialized e2e ran clean — the
+        # periodic sync is the back-pressure the d2h copies provide
+        # in materialized mode).
+        sums.append(chk_fn(f.y))
+        if len(sums) % BATCH == 0:
+            int(sums[-1])
         return None
 
     # warmup decode first (compiles; the resident path traces its own
