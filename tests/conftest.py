@@ -6,7 +6,6 @@ is exercised by bench.py, not pytest.
 """
 
 import os
-import subprocess
 import sys
 from pathlib import Path
 
@@ -32,12 +31,7 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def h264ref():
-    """Path to the libavcodec conformance-oracle CLI, built on demand."""
-    exe = REPO / "tools" / "h264ref"
-    src = REPO / "tools" / "h264ref.c"
-    if not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime:
-        subprocess.run(
-            ["gcc", "-O2", "-o", str(exe), str(src), "-lavcodec", "-lavutil"],
-            check=True,
-        )
-    return str(exe)
+    """Path to the libavcodec conformance-oracle CLI, built on demand
+    (single build path: tools.streams.ensure_h264ref, ADVICE r4)."""
+    from tools.streams import ensure_h264ref
+    return ensure_h264ref()

@@ -18,12 +18,19 @@ H264REF = REPO / "tools" / "h264ref"
 
 def ensure_h264ref() -> str:
     """Build the oracle CLI on demand (the binary is gitignored, so a
-    fresh checkout — e.g. the driver's bench box — has only the .c)."""
+    fresh checkout — e.g. the driver's bench box — has only the .c).
+
+    Compiles to a temp path and os.replace()s into place so an
+    interrupted gcc never leaves a fresh-mtime partial binary that later
+    calls would treat as up to date (ADVICE r4)."""
+    import os
     src = REPO / "tools" / "h264ref.c"
     if not H264REF.exists() or H264REF.stat().st_mtime < src.stat().st_mtime:
+        tmp = H264REF.with_suffix(".build")
         subprocess.run(
-            ["gcc", "-O2", "-o", str(H264REF), str(src),
+            ["gcc", "-O2", "-o", str(tmp), str(src),
              "-lavcodec", "-lavutil"], check=True)
+        os.replace(tmp, H264REF)
     return str(H264REF)
 
 
