@@ -320,7 +320,14 @@ class Decoder:
             cvoff = np.zeros(64, np.int32)
             for l0, l1 in pic.slice_reflists:
                 for p in list(l0) + list(l1):
+                    # non-existing gap placeholders share slot 0 with a
+                    # real picture (api gap binding); letting one set the
+                    # slot's parity offset would corrupt the real ref's
+                    # chroma MC (conforming streams never reference
+                    # non-existing fields, so their own adjustment is
+                    # irrelevant)
                     if p.slot >= 0 and p.parity and \
+                            not getattr(p, "non_existing", False) and \
                             p.parity != hdr0.parity:
                         cvoff[p.slot] = -2 if hdr0.parity == 1 else 2
             abi["cvoff"] = cvoff

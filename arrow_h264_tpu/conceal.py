@@ -86,6 +86,12 @@ def conceal_abi(abi, covered: np.ndarray, ref_slot: int,
         abi["wtab"][CONCEAL_SLICE, ..., 0] = 1
         abi["wtab"][CONCEAL_SLICE, ..., 2] = 1
         abi["slogwd"][CONCEAL_SLICE] = 0
+        if "wp" in abi:
+            # slice-row overflow frame (dense per-cell weights bypass
+            # the wtab gather): set identity on the concealed cells too
+            abi["wp"][idx] = 0
+            abi["wp"][idx, ..., 0] = 1   # weight 1, offset 0, both lists
+            abi["logwd"][idx] = 0
     else:
         abi["kind"][idx] = KIND_I16
         abi["i16_mode"][idx] = 2         # DC

@@ -463,7 +463,16 @@ class DevicePipeline:
             # Pallas kernel's candidate encoding has no parity channel
             mode = "gather"
         abi["patch"] = patch
-        dev = self.upload_abi(abi)
+        if "wp" in abi:
+            # slice-row overflow fallback (ops.abi._fill_dense_weights):
+            # dense per-cell weights, wire bypass (the wire's 4-bit slice
+            # ids and per-row tables can't carry >15 distinct rows)
+            dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS
+                   if k not in ("wtab", "slogwd")}
+            dev["wp"] = jnp.asarray(abi["wp"])
+            dev["logwd"] = jnp.asarray(abi["logwd"])
+        else:
+            dev = self.upload_abi(abi)
         if "cvoff" in abi:
             dev["cvoff"] = jnp.asarray(abi["cvoff"])
         if mode not in self._fns:

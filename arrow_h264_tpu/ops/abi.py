@@ -365,9 +365,9 @@ def assign_slice_rows(pps, headers, slice_reflists) -> list[int]:
             assign.append(rows[key])
         if len(rows) <= usable:
             return assign
-    raise NotImplementedError(
-        f"> {usable} distinct per-slice parameter sets in one picture "
-        f"({len(rows)} after dedup; weight-table rows exhausted)")
+    # > usable truly distinct parameter sets: the caller falls back to
+    # DENSE per-cell weights (no row limit) — see fill_weight_tables.
+    return None
 
 
 def fill_weight_tables(abi: FrameABI, pps, headers, slice_reflists,
@@ -378,8 +378,19 @@ def fill_weight_tables(abi: FrameABI, pps, headers, slice_reflists,
     index 0 on either ref axis means that list is unused for the cell and
     holds identity, so the device gather needs no validity masking.
     Pictures with more than MAX_SLICES-1 slices are remapped onto shared
-    parameter rows (assign_slice_rows), including abi["slice_id"]."""
+    parameter rows (assign_slice_rows), including abi["slice_id"].
+
+    If even the deduped parameter sets exceed the rows (a low-latency
+    encoder emitting dozens of slices with DISTINCT pred-weight tables,
+    VERDICT r4 #6), the picture falls back to DENSE per-cell weights:
+    abi["wp"]/abi["logwd"] filled on host from the true per-slice tables
+    (no row limit; models.pipeline.resolve_weights passes them through)
+    and slice_id kept at the true per-slice ids (deblock only compares
+    ids for equality, so no 4-bit row bound applies off the wire)."""
     row_of = assign_slice_rows(pps, headers, slice_reflists)
+    if row_of is None:
+        _fill_dense_weights(abi, pps, headers, slice_reflists, cur_poc)
+        return
     if row_of != list(range(len(headers))):
         # remap per-MB ids onto the shared rows (copy: abi["slice_id"]
         # may be a zero-copy view of pooled parser arrays)
@@ -393,39 +404,70 @@ def fill_weight_tables(abi: FrameABI, pps, headers, slice_reflists,
             continue
         done.add(s)
         l0, l1 = slice_reflists[s0]
-        weighted_p = bool(pps.weighted_pred_flag) and hdr.is_p
-        weighted_b = pps.weighted_bipred_idc == 1 and hdr.is_b
-        implicit_b = pps.weighted_bipred_idc == 2 and hdr.is_b
-        if weighted_p or weighted_b:
-            slogwd[s] = [hdr.luma_log2_weight_denom,
-                         hdr.chroma_log2_weight_denom]
-            for lst, pws in ((0, hdr.pred_weights_l0),
-                             (1, hdr.pred_weights_l1)):
-                if not pws or (lst == 1 and not weighted_b):
-                    continue
-                arr = np.array(
-                    [[(pw.luma_weight, pw.luma_offset),
-                      (pw.chroma_weight[0], pw.chroma_offset[0]),
-                      (pw.chroma_weight[1], pw.chroma_offset[1])]
-                     for pw in pws], np.int16)          # [nref,3,2]
-                nr = min(len(pws), 32)
-                if lst == 0:
-                    wtab[s, 1:nr + 1, :, :, 0:2] = arr[:nr, None]
-                else:
-                    wtab[s, :, 1:nr + 1, :, 2:4] = arr[None, :nr]
-        elif implicit_b:
-            from ..oracle.reconstruct import implicit_weights
-            slogwd[s] = [5, 5]
-            wtab[s, ..., 0] = 32        # identity at logWD 5
-            wtab[s, ..., 2] = 32
-            wtab[s, ..., 1] = 0
-            wtab[s, ..., 3] = 0
-            n0, n1 = min(len(l0), 32), min(len(l1), 32)
-            if n0 and n1:
-                pair = np.zeros((n0, n1, 2), np.int16)
-                for i0 in range(n0):
-                    for i1 in range(n1):
-                        pair[i0, i1] = implicit_weights(
-                            cur_poc, l0[i0], l1[i1])
-                wtab[s, 1:n0 + 1, 1:n1 + 1, :, 0] = pair[:, :, None, 0]
-                wtab[s, 1:n0 + 1, 1:n1 + 1, :, 2] = pair[:, :, None, 1]
+        _fill_wtab_row(wtab, slogwd, s, pps, hdr, l0, l1, cur_poc)
+
+
+def _fill_wtab_row(wtab, slogwd, s: int, pps, hdr, l0, l1,
+                   cur_poc: int) -> None:
+    """Fill one weight-table row (spec 8.4.2.3 / 8.4.2.3.1) for slice
+    header `hdr` into wtab[s]/slogwd[s] (pre-initialized to identity)."""
+    weighted_p = bool(pps.weighted_pred_flag) and hdr.is_p
+    weighted_b = pps.weighted_bipred_idc == 1 and hdr.is_b
+    implicit_b = pps.weighted_bipred_idc == 2 and hdr.is_b
+    if weighted_p or weighted_b:
+        slogwd[s] = [hdr.luma_log2_weight_denom,
+                     hdr.chroma_log2_weight_denom]
+        for lst, pws in ((0, hdr.pred_weights_l0),
+                         (1, hdr.pred_weights_l1)):
+            if not pws or (lst == 1 and not weighted_b):
+                continue
+            arr = np.array(
+                [[(pw.luma_weight, pw.luma_offset),
+                  (pw.chroma_weight[0], pw.chroma_offset[0]),
+                  (pw.chroma_weight[1], pw.chroma_offset[1])]
+                 for pw in pws], np.int16)          # [nref,3,2]
+            nr = min(len(pws), 32)
+            if lst == 0:
+                wtab[s, 1:nr + 1, :, :, 0:2] = arr[:nr, None]
+            else:
+                wtab[s, :, 1:nr + 1, :, 2:4] = arr[None, :nr]
+    elif implicit_b:
+        from ..oracle.reconstruct import implicit_weights
+        slogwd[s] = [5, 5]
+        wtab[s, ..., 0] = 32        # identity at logWD 5
+        wtab[s, ..., 2] = 32
+        wtab[s, ..., 1] = 0
+        wtab[s, ..., 3] = 0
+        n0, n1 = min(len(l0), 32), min(len(l1), 32)
+        if n0 and n1:
+            pair = np.zeros((n0, n1, 2), np.int16)
+            for i0 in range(n0):
+                for i1 in range(n1):
+                    pair[i0, i1] = implicit_weights(
+                        cur_poc, l0[i0], l1[i1])
+            wtab[s, 1:n0 + 1, 1:n1 + 1, :, 0] = pair[:, :, None, 0]
+            wtab[s, 1:n0 + 1, 1:n1 + 1, :, 2] = pair[:, :, None, 1]
+
+
+def _fill_dense_weights(abi: FrameABI, pps, headers, slice_reflists,
+                        cur_poc: int) -> None:
+    """Row-overflow fallback: per-CELL weights from the true per-slice
+    tables.  abi["wp"] [n,4,4,2,3,2] / abi["logwd"] [n,2] match what
+    resolve_weights produces from the compact rows, so every MC path
+    (Pallas combine + gather) consumes them unchanged; the frame ships
+    dense (wire bypass) — rare enough that the upload cost is fine."""
+    S = len(headers)
+    fullw = np.zeros((S, 33, 33, 3, 4), np.int16)
+    fullw[..., 0] = 1
+    fullw[..., 2] = 1
+    fulls = np.zeros((S, 2), np.int32)
+    for s, hdr in enumerate(headers):
+        l0, l1 = slice_reflists[s]
+        _fill_wtab_row(fullw, fulls, s, pps, hdr, l0, l1, cur_poc)
+    sid = np.asarray(abi["slice_id"])
+    ridx = np.asarray(abi["refidx"])
+    r0 = np.clip(ridx[..., 0], -1, 31) + 1      # [n,4,4]; 0 = unused
+    r1 = np.clip(ridx[..., 1], -1, 31) + 1
+    t = fullw[sid[:, None, None], r0, r1].astype(np.int32)  # [n,4,4,3,4]
+    abi["wp"] = np.stack([t[..., 0:2], t[..., 2:4]], axis=3)
+    abi["logwd"] = fulls[sid]

@@ -147,6 +147,13 @@ class BatchDecoder:
             from ..ops.wire import emit_wire, unpack_fn
             buf = emit_wire(*wire, target, mb_w * mb_h)
             dev = unpack_fn(mb_w, mb_h, target)(jnp.asarray(buf))
+        elif "wp" in abi:
+            # slice-row overflow lane (ops.abi._fill_dense_weights):
+            # dense per-cell weights, wire bypass
+            dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS
+                   if k not in ("wtab", "slogwd")}
+            dev["wp"] = jnp.asarray(abi["wp"])
+            dev["logwd"] = jnp.asarray(abi["logwd"])
         else:
             dev = {k: jnp.asarray(abi[k]) for k in ABI_DEVICE_KEYS}
         if "cvoff" in abi:
@@ -205,6 +212,10 @@ class BatchDecoder:
                                       # chroma adjustment lives on the
                                       # gather path (8.4.1.4.1)
                 abi["patch"] = patch
+                if "wp" in abi:
+                    # slice-row overflow: dense weights can't ride the
+                    # wire; decode this lane via the per-lane path
+                    return i, (abi, None, "gather", sl)
                 if use_wire:
                     from ..ops.wire import pack_wire_raw
                     ws = pack_wire_raw(abi, mb_w, mb_h)
@@ -270,7 +281,8 @@ class BatchDecoder:
                 # class split keeps I-frame rounds' dense schemes from
                 # poisoning every P/B round's upload (ops.wire.spec_class)
                 target = merge_specs(
-                    [wires[i][1] for i in live] + [self._dummy_wire[1]])
+                    [wires[i][1] for i in live if wires[i] is not None]
+                    + [self._dummy_wire[1]])
                 cls = spec_class(target)
                 if cls in self._spec_sticky:
                     target = merge_specs([self._spec_sticky[cls], target])

@@ -267,3 +267,112 @@ def make_field_p_stream(mb_w: int = 6, map_units: int = 4,
             w.rbsp_trailing_bits()
             out.append(_nal(5 if idr else 1, 3, w.get_bytes()))
     return b"".join(out)
+
+
+# One global integer-pel MV per P field of the gap stream (pixels, even
+# so chroma shifts stay integer): the constructed golden is a plain
+# clamped shift of the PCM reference field.
+_GAP_MV = {1: (2, -2), 2: (-2, 2)}
+
+
+def make_field_gap_stream(mb_w: int = 6, map_units: int = 4) -> bytes:
+    """PAFF stream with a frame_num GAP (spec 8.2.5.2 in field coding):
+    I field pair at frame_num 0, then a P field pair at frame_num 2 with
+    gaps_in_frame_num_value_allowed_flag=1 — the decoder must synthesize
+    a non-existing reference frame (entering the field lists as a
+    complementary non-existing field pair) for frame_num 1, shifting the
+    field list indices of the REAL fields: each P field codes ref_idx 2,
+    which lands on its same-parity I field ONLY if the gap pair was
+    inserted (top list0 = [gap_t, gap_b, I_t, I_b]).  libavcodec does
+    not synthesize gap refs in field mode ("Missing reference
+    picture"), so — like FMO — the golden is constructed: one global
+    even-integer-pel MV per P field, no residual, deblocking off, makes
+    the expected output a clamped shift of the authored PCM content
+    (field_gap_golden)."""
+    sps = field_sps(mb_w, map_units,
+                    gaps_in_frame_num_value_allowed_flag=1)
+    sps.max_num_ref_frames = 3          # I pair + gap pair + current
+    pps = PPS()
+    out = [_nal(7, 3, write_sps(sps)), _nal(8, 3, write_pps(pps))]
+    n = mb_w * map_units
+    for parity in (1, 2):               # I pair, frame_num 0, display 0
+        w = BitWriter()
+        hdr = _field_hdr(0, parity, 2, sps, idr=parity == 1)
+        write_slice_header(w, hdr, sps, pps)
+        for addr in range(n):
+            w.ue(25)
+            _write_pcm_samples(w, *_pcm_mb(addr, parity - 1, mb_w))
+        w.rbsp_trailing_bits()
+        out.append(_nal(5 if parity == 1 else 1, 3, w.get_bytes()))
+    # P pair at frame_num 2 (frame_num 1 skipped), all MBs P_L0_16x16
+    # ref_idx 2 with one shared MV: first MB codes the full MVD (pred is
+    # (0,0) with no neighbors), every later MB codes MVD 0 (the median
+    # of same-ref neighbors is the shared MV itself).
+    for parity in (1, 2):
+        w = BitWriter()
+        hdr = _field_hdr(2, parity, 0, sps, idr=False)
+        hdr.pic_order_cnt_lsb = (4 + (parity - 1)) % \
+            (1 << sps.log2_max_pic_order_cnt_lsb)
+        hdr.num_ref_idx_active_override_flag = 1
+        hdr.num_ref_idx_l0_active = 4
+        hdr.disable_deblocking_filter_idc = 1
+        write_slice_header(w, hdr, sps, pps)
+        mvx, mvy = _GAP_MV[parity]
+        for addr in range(n):
+            w.ue(0)                       # mb_skip_run
+            w.ue(0)                       # P_L0_16x16
+            w.te(2, 3)                    # ref_idx_l0 = 2 (real field)
+            w.se(4 * mvx if addr == 0 else 0)   # mvd x (quarter-pel)
+            w.se(4 * mvy if addr == 0 else 0)   # mvd y
+            w.ue(0)                       # cbp 0
+        w.rbsp_trailing_bits()
+        out.append(_nal(1, 3, w.get_bytes()))
+    return b"".join(out)
+
+
+def field_gap_golden(mb_w: int = 6, map_units: int = 4) -> list[np.ndarray]:
+    """Constructed golden for make_field_gap_stream: frame 0 is the
+    woven PCM pair; frame 1 is each field's same-parity PCM reference
+    shifted by its global integer MV with spec edge clamping (no
+    residual, deblocking off)."""
+    H, W = map_units * 16, mb_w * 16
+
+    def field_planes(parity):
+        y = np.zeros((H, W), np.uint8)
+        cb = np.zeros((H // 2, W // 2), np.uint8)
+        cr = np.zeros_like(cb)
+        for addr in range(mb_w * map_units):
+            my, mx = divmod(addr, mb_w)
+            ym, cbm, crm = _pcm_mb(addr, parity - 1, mb_w)
+            y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = ym
+            cb[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = cbm
+            cr[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = crm
+        return y, cb, cr
+
+    def shifted(plane, mvx, mvy):
+        h, w = plane.shape
+        ys = np.clip(np.arange(h) + mvy, 0, h - 1)
+        xs = np.clip(np.arange(w) + mvx, 0, w - 1)
+        return plane[ys[:, None], xs[None, :]]
+
+    def weave(tp, bp):
+        t_y, t_cb, t_cr = tp
+        b_y, b_cb, b_cr = bp
+        y = np.zeros((2 * H, W), np.uint8)
+        cb = np.zeros((H, W // 2), np.uint8)
+        cr = np.zeros_like(cb)
+        y[0::2], y[1::2] = t_y, b_y
+        cb[0::2], cb[1::2] = t_cb, b_cb
+        cr[0::2], cr[1::2] = t_cr, b_cr
+        return np.concatenate([y.ravel(), cb.ravel(), cr.ravel()])
+
+    i_t, i_b = field_planes(1), field_planes(2)
+    out = [weave(i_t, i_b)]
+    p_fields = []
+    for parity, ref in ((1, i_t), (2, i_b)):
+        mvx, mvy = _GAP_MV[parity]
+        p_fields.append((shifted(ref[0], mvx, mvy),
+                         shifted(ref[1], mvx // 2, mvy // 2),
+                         shifted(ref[2], mvx // 2, mvy // 2)))
+    out.append(weave(*p_fields))
+    return out
