@@ -16,10 +16,14 @@ from .bits import BitReader
 # payloadType values (spec Annex D, Table D-1)
 SEI_BUFFERING_PERIOD = 0
 SEI_PIC_TIMING = 1
+SEI_PAN_SCAN_RECT = 2
+SEI_FILLER = 3
 SEI_USER_DATA_REGISTERED = 4
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_RECOVERY_POINT = 6
-SEI_FILLER = 3
+SEI_FILM_GRAIN = 19
+SEI_FRAME_PACKING = 45
+SEI_DISPLAY_ORIENTATION = 47
 
 
 @dataclass
@@ -124,12 +128,108 @@ def _parse_user_data_unregistered(payload: bytes) -> dict:
     return {"uuid": payload[:16], "data": payload[16:]}
 
 
+def _parse_pan_scan_rect(payload: bytes) -> dict:
+    """spec D.2.4: display-cropping rectangles for pan-scan output."""
+    r = BitReader(payload)
+    out: dict = {"pan_scan_rect_id": r.ue(),
+                 "pan_scan_rect_cancel_flag": r.u(1)}
+    if not out["pan_scan_rect_cancel_flag"]:
+        cnt = r.ue() + 1
+        out["rects"] = [{
+            "left_offset": r.se(), "right_offset": r.se(),
+            "top_offset": r.se(), "bottom_offset": r.se(),
+        } for _ in range(cnt)]
+        out["pan_scan_rect_repetition_period"] = r.ue()
+    return out
+
+
+def _parse_film_grain(payload: bytes) -> dict:
+    """spec D.2.21: film grain characteristics (synthesis model; never
+    affects decoded samples — exposed for display-side grain synth)."""
+    r = BitReader(payload)
+    out: dict = {"cancel_flag": r.u(1)}
+    if out["cancel_flag"]:
+        return out
+    out["model_id"] = r.u(2)
+    out["separate_colour_description_present_flag"] = r.u(1)
+    if out["separate_colour_description_present_flag"]:
+        out["bit_depth_luma"] = r.u(3) + 8
+        out["bit_depth_chroma"] = r.u(3) + 8
+        out["full_range_flag"] = r.u(1)
+        out["colour_primaries"] = r.u(8)
+        out["transfer_characteristics"] = r.u(8)
+        out["matrix_coefficients"] = r.u(8)
+    out["blending_mode_id"] = r.u(2)
+    out["log2_scale_factor"] = r.u(4)
+    present = [r.u(1) for _ in range(3)]
+    out["comp_model_present_flag"] = present
+    comps: list = [None, None, None]
+    for c in range(3):
+        if not present[c]:
+            continue
+        n_int = r.u(8) + 1
+        n_val = r.u(3) + 1
+        comps[c] = [{
+            "intensity_interval_lower_bound": r.u(8),
+            "intensity_interval_upper_bound": r.u(8),
+            "comp_model_values": [r.se() for _ in range(n_val)],
+        } for _ in range(n_int)]
+    out["comp_models"] = comps
+    out["repetition_period"] = r.ue()
+    return out
+
+
+def _parse_frame_packing(payload: bytes) -> dict:
+    """spec D.2.25: stereo frame packing arrangement."""
+    r = BitReader(payload)
+    out: dict = {"frame_packing_arrangement_id": r.ue(),
+                 "cancel_flag": r.u(1)}
+    if not out["cancel_flag"]:
+        out["arrangement_type"] = r.u(7)
+        out["quincunx_sampling_flag"] = r.u(1)
+        out["content_interpretation_type"] = r.u(6)
+        out["spatial_flipping_flag"] = r.u(1)
+        out["frame0_flipped_flag"] = r.u(1)
+        out["field_views_flag"] = r.u(1)
+        out["current_frame_is_frame0_flag"] = r.u(1)
+        out["frame0_self_contained_flag"] = r.u(1)
+        out["frame1_self_contained_flag"] = r.u(1)
+        if not out["quincunx_sampling_flag"] and \
+                out["arrangement_type"] != 5:
+            out["frame0_grid_position_x"] = r.u(4)
+            out["frame0_grid_position_y"] = r.u(4)
+            out["frame1_grid_position_x"] = r.u(4)
+            out["frame1_grid_position_y"] = r.u(4)
+        r.u(8)                              # reserved byte
+        out["repetition_period"] = r.ue()
+    out["extension_flag"] = r.u(1)
+    return out
+
+
+def _parse_display_orientation(payload: bytes) -> dict:
+    """spec D.2.27: flip/rotation hint for display."""
+    r = BitReader(payload)
+    out: dict = {"cancel_flag": r.u(1)}
+    if not out["cancel_flag"]:
+        out["hor_flip"] = r.u(1)
+        out["ver_flip"] = r.u(1)
+        out["anticlockwise_rotation"] = r.u(16)
+        out["repetition_period"] = r.ue()
+        out["extension_flag"] = r.u(1)
+    return out
+
+
 _PARSERS = {
     SEI_RECOVERY_POINT: lambda p, sps=None: _parse_recovery_point(p),
     SEI_BUFFERING_PERIOD: _parse_buffering_period,
     SEI_PIC_TIMING: _parse_pic_timing,
     SEI_USER_DATA_UNREGISTERED:
         lambda p, sps=None: _parse_user_data_unregistered(p),
+    SEI_PAN_SCAN_RECT: lambda p, sps=None: _parse_pan_scan_rect(p),
+    SEI_FILM_GRAIN: lambda p, sps=None: _parse_film_grain(p),
+    SEI_FRAME_PACKING: lambda p, sps=None: _parse_frame_packing(p),
+    SEI_DISPLAY_ORIENTATION:
+        lambda p, sps=None: _parse_display_orientation(p),
 }
 
 

@@ -115,3 +115,81 @@ def test_trace_se(h264ref, tmp_path):
             prev_key, prev_pos = key, -1
         assert int(pos) >= prev_pos, ln
         prev_pos = int(pos)
+
+
+def test_sei_new_payload_parsers():
+    """Round-trip the r5 payload parsers (pan-scan, film grain, frame
+    packing, display orientation) through hand-written payloads."""
+    from arrow_h264_tpu.bitstream.bits import BitWriter
+    from arrow_h264_tpu.bitstream.sei import (
+        SEI_DISPLAY_ORIENTATION, SEI_FILM_GRAIN, SEI_FRAME_PACKING,
+        SEI_PAN_SCAN_RECT, parse_sei_rbsp, write_sei_rbsp,
+    )
+
+    def _aligned(w):
+        while w.bitpos % 8:
+            w.u(0, 1)
+        return w.get_bytes()
+
+    w = BitWriter()                      # pan_scan_rect, D.2.4
+    w.ue(3); w.u(0, 1); w.ue(1)          # id 3, not cancelled, 2 rects
+    for v in (4, -4, 8, -8, 2, -2, 6, -6):
+        w.se(v)
+    w.ue(5)
+    pan = _aligned(w)
+
+    w = BitWriter()                      # film_grain, D.2.21
+    w.u(0, 1); w.u(1, 2); w.u(0, 1)      # no sep colour desc
+    w.u(0, 2); w.u(4, 4)                 # blending 0, log2 scale 4
+    w.u(1, 1); w.u(0, 1); w.u(0, 1)      # luma comp only
+    w.u(0, 8); w.u(1 - 1, 3)             # 1 interval, 1 model value
+    w.u(10, 8); w.u(250, 8); w.se(7)
+    w.ue(0)
+    grain = _aligned(w)
+
+    w = BitWriter()                      # frame_packing, D.2.25
+    w.ue(1); w.u(0, 1); w.u(3, 7)        # side-by-side
+    w.u(0, 1); w.u(1, 6)
+    for _ in range(6):
+        w.u(0, 1)
+    for v in (0, 0, 0, 0):
+        w.u(v, 4)
+    w.u(0, 8); w.ue(0); w.u(0, 1)
+    pack = _aligned(w)
+
+    w = BitWriter()                      # display_orientation, D.2.27
+    w.u(0, 1); w.u(0, 1); w.u(1, 1)      # cancel 0, hor 0, ver 1
+    w.u(90 * 65536 // 360, 16); w.ue(0); w.u(0, 1)
+    orient = _aligned(w)
+
+    rbsp = write_sei_rbsp([
+        SEIMessage(SEI_PAN_SCAN_RECT, pan),
+        SEIMessage(SEI_FILM_GRAIN, grain),
+        SEIMessage(SEI_FRAME_PACKING, pack),
+        SEIMessage(SEI_DISPLAY_ORIENTATION, orient),
+    ])
+    msgs = parse_sei_rbsp(rbsp)
+    assert [m.payload_type for m in msgs] == [2, 19, 45, 47]
+    ps, fg, fp, do = (m.fields for m in msgs)
+    assert ps["pan_scan_rect_id"] == 3
+    assert len(ps["rects"]) == 2
+    assert ps["rects"][1] == {"left_offset": 2, "right_offset": -2,
+                              "top_offset": 6, "bottom_offset": -6}
+    assert ps["pan_scan_rect_repetition_period"] == 5
+    assert fg["model_id"] == 1 and fg["log2_scale_factor"] == 4
+    assert fg["comp_model_present_flag"] == [1, 0, 0]
+    assert fg["comp_models"][0][0]["comp_model_values"] == [7]
+    assert fg["comp_models"][0][0]["intensity_interval_upper_bound"] == 250
+    assert fp["arrangement_type"] == 3
+    assert do["ver_flip"] == 1 and do["hor_flip"] == 0
+    assert do["anticlockwise_rotation"] == 90 * 65536 // 360
+
+
+def test_sei_new_parsers_malformed_safe():
+    """Truncated payloads of the new types keep raw bytes, no raise."""
+    from arrow_h264_tpu.bitstream.sei import parse_sei_rbsp, write_sei_rbsp
+    for t in (2, 19, 45, 47):
+        rbsp = write_sei_rbsp([SEIMessage(t, b"\xff")])
+        msgs = parse_sei_rbsp(rbsp)
+        assert msgs[0].payload_type == t
+        assert msgs[0].payload == b"\xff"
