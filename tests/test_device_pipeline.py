@@ -137,3 +137,21 @@ def test_device_lossless_cavlc_dpcm(h264ref, tmp_path):
     ours = _decode_device(path)
     assert ours.shape == golden.shape
     assert np.array_equal(ours, golden)
+
+
+@pytest.mark.parametrize("cfg", [2, 3, 4])
+def test_device_cif(h264ref, tmp_path, cfg):
+    """Configs 2-4 at CIF (352x288) on the device pipeline: wider
+    geometry (mb_w=22) than the QCIF tests — band layouts, knight-phase
+    schedules, and lane packing all differ with mb_w (VERDICT r4 #7:
+    wide-geometry device behavior was chip-tool-only)."""
+    w, h = 352, 288
+    yuv = streams.make_content(w, h, 4, seed=60 + cfg)
+    path = str(tmp_path / f"dcif{cfg}.264")
+    streams.encode(yuv, w, h, path, streams.CONFIG_OPTS[cfg])
+    golden, gw, gh = streams.golden_decode(path)
+    ours = _decode_device(path)
+    assert ours.shape == golden.shape
+    for f in range(ours.shape[0]):
+        assert np.array_equal(ours[f], golden[f]), \
+            f"frame {f}: {int((ours[f] != golden[f]).sum())} byte diffs"
