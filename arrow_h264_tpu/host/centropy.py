@@ -423,6 +423,20 @@ class CppPictureParse:
         if a is None:
             a = _alloc_arrays(self.mb_w, self.mb_h)
         self.a = a
+        # the ~45 ctypes pointer-field assignments below cost ~1.5 ms per
+        # picture; the pointers only depend on the pooled array set, so
+        # the filled _PicBuf rides the pool with its arrays and only the
+        # per-parameter-set scalars are refreshed on reuse
+        pb = a.get("_pb")
+        if pb is not None:
+            self.pb = pb
+            pb.transform_8x8_mode = pps.transform_8x8_mode_flag
+            pb.constrained_intra = pps.constrained_intra_pred_flag
+            pb.direct_8x8_inference = sps.direct_8x8_inference_flag
+            load_lib(trace=self._trace).h264e_reset_pic(C.byref(pb))
+            self._keepalive = []
+            self._fmo_tabs = {}
+            return
         self.pb = _PicBuf(
             mb_w=self.mb_w, mb_h=self.mb_h,
             transform_8x8_mode=pps.transform_8x8_mode_flag,
@@ -454,6 +468,7 @@ class CppPictureParse:
                 ("nzr_ca", "nzr_ca"), ("nzr_ldc", "nzr_ldc"),
                 ("nzr_cdc", "nzr_cdc"), ("nzr_cnt", "nzr_cnt")):
             setattr(self.pb, name, _ptr(a[key]))
+        a["_pb"] = self.pb        # pooled with the arrays it points into
         load_lib(trace=self._trace).h264e_reset_pic(C.byref(self.pb))
         self._keepalive = []
         # FMO: NextMbAddress tables per slice_group_change_cycle (types
