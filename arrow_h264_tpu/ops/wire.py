@@ -793,6 +793,84 @@ _DENSE_BYTES_PER_MB = {"l4": 16 * 16 * 2, "l8": 4 * 64 * 2,
                        "intra": 40, "inter": 64 * 2 + 64, "pcm": 384}
 
 
+_SPEC_FIELDS = ("intra", "inter", "l4", "l8", "ca", "ldc", "cdc",
+                "pcm", "wtab", "patch")
+
+
+def _spec_cache_path() -> str:
+    import os
+    return os.environ.get(
+        "ARROW_H264_SPEC_CACHE",
+        os.path.expanduser("~/.cache/arrow_h264_specs.json"))
+
+
+def load_sticky_specs(mb_w: int, mb_h: int) -> dict:
+    """Persisted sticky wire specs for this geometry: {class -> spec}.
+
+    The sticky-spec ratchet otherwise makes each fresh process walk its
+    own SEQUENCE of growing specs, and every step is a new jitted
+    unpack/decode structure — a fresh compile.  Persisting the settled
+    spec per (geometry, class) makes repeat runs (and the driver's bench
+    after an in-round warmup) start at the final structure, so the
+    persistent XLA compile cache actually hits.  Malformed or
+    out-of-date entries are ignored (the spec re-settles on its own)."""
+    import json
+    import os
+    try:
+        with open(_spec_cache_path()) as f:
+            all_specs = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out = {}
+    for cls, spec in (all_specs.get(f"{mb_w}x{mb_h}") or {}).items():
+        try:
+            t = tuple(
+                (f, s, tuple(b) if isinstance(b, list) else int(b))
+                for f, s, b in spec)
+        except (TypeError, ValueError):
+            continue
+        if tuple(f for f, _, _ in t) == _SPEC_FIELDS and \
+                all(s in _ORDER for _, s, _ in t):
+            out[cls] = t
+    return out
+
+
+def save_sticky_specs(mb_w: int, mb_h: int, specs: dict) -> None:
+    """Merge {class -> spec} into the on-disk cache (atomic replace;
+    best-effort — failures never affect the decode)."""
+    import json
+    import os
+    import tempfile
+    path = _spec_cache_path()
+    try:
+        try:
+            with open(path) as f:
+                all_specs = json.load(f)
+        except (OSError, ValueError):
+            all_specs = {}
+        key = f"{mb_w}x{mb_h}"
+        cur = all_specs.get(key) or {}
+        for cls, spec in specs.items():
+            prev = cur.get(cls)
+            if prev is not None:
+                try:
+                    spec = merge_specs([
+                        tuple((f, s, tuple(b) if isinstance(b, list)
+                               else int(b)) for f, s, b in prev), spec])
+                except Exception:
+                    pass
+            cur[cls] = [[f, s, list(b) if isinstance(b, tuple) else b]
+                        for f, s, b in spec]
+        all_specs[key] = cur
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            json.dump(all_specs, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def spec_class(spec) -> str:
     """Coarse bucket for sticky-spec growth: a frame whose own pack needed
     a BIG dense section (I-frames; the odd coefficient-heavy P frame)

@@ -117,7 +117,12 @@ class BatchDecoder:
         self._store = sharded_store_fn(self.mesh, B)
         self._dummy = empty_frame_abi(mb_w, mb_h)
         self._use_wire = os.environ.get("ARROW_H264_WIRE") != "0"
-        self._spec_sticky: dict = {}   # ops.wire.spec_class -> merged spec
+        # seed the per-class sticky specs from the cross-process cache:
+        # repeat runs then compile the SAME settled structures and hit
+        # the persistent XLA compile cache instead of walking a fresh
+        # spec-growth sequence of compiles (ops.wire.load_sticky_specs)
+        from ..ops.wire import load_sticky_specs
+        self._spec_sticky: dict = load_sticky_specs(mb_w, mb_h)
         self._gather_fn = None
         self.demotions = 0   # lane-rounds decoded via the per-lane
                              # gather fallback (observability + tests)
@@ -284,9 +289,15 @@ class BatchDecoder:
                     [wires[i][1] for i in live if wires[i] is not None]
                     + [self._dummy_wire[1]])
                 cls = spec_class(target)
-                if cls in self._spec_sticky:
-                    target = merge_specs([self._spec_sticky[cls], target])
-                self._spec_sticky[cls] = target
+                prev = self._spec_sticky.get(cls)
+                if prev is not None:
+                    target = merge_specs([prev, target])
+                if target != prev:
+                    # persist each growth immediately: a killed process
+                    # (driver timeout) must not lose the settled spec
+                    from ..ops.wire import save_sticky_specs
+                    self._spec_sticky[cls] = target
+                    save_sticky_specs(*self._geom, {cls: target})
                 n = mb_w * mb_h
                 bufs = [
                     emit_wire(
