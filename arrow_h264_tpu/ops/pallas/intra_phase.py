@@ -35,6 +35,7 @@ the equivalence tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,15 @@ _F_CHROMA = 4
 _SUBSTEP_BLOCKS = [[(x, y) for y in range(4) for x in range(4)
                     if 2 * y + x == s] for s in range(10)]
 _SUBSTEP_BLK8 = {0: 0, 2: 1, 4: 2, 6: 3}
+
+
+def _dbg() -> set:
+    """Bisection toggles (tools/tpu_bisect.py): comma-set of
+    noi16,noi4,noi8,nochroma,noluma; ARROW_H264_INTRA_MINB overrides the
+    wide-geometry lane pad.  Trace-time only — never set in production."""
+    return set(filter(None,
+                      os.environ.get("ARROW_H264_INTRA_DEBUG", "")
+                      .split(",")))
 
 
 # ---------------------------------------------------------------------------
@@ -330,17 +340,20 @@ def _luma_process(slab, rslab, md, wc4, rs4, wc8, rs8, *, mb_h: int,
     pred = jnp.where(_lane_rep(jnp.broadcast_to(ispcm, (mh, 16, B)), 16),
                      0, pred)
     out16 = jnp.clip(pred + res_cur(0, 16, 40, 16), 0, 255)
-    masked_store(0, 16, 40, 16, out16, any16)
+    dbg = _dbg()
+    if "noi16" not in dbg:
+        masked_store(0, 16, 40, 16, out16, any16)
 
     # ---- I4x4 / I8x8 sub-steps -------------------------------------------
     is4 = kind == KIND_I4x4
     is8 = kind == KIND_I8x8
     for s in range(10):
-        for (x4, y4) in _SUBSTEP_BLOCKS[s]:
-            _i4_block(slab, rslab, md, x4, y4, is4, wc4, rs4, mb_h=mh,
-                      B=B, cur=cur, above=above, res_cur=res_cur,
-                      masked_store=masked_store, fld=fld)
-        if s in _SUBSTEP_BLK8:
+        if "noi4" not in dbg:
+            for (x4, y4) in _SUBSTEP_BLOCKS[s]:
+                _i4_block(slab, rslab, md, x4, y4, is4, wc4, rs4, mb_h=mh,
+                          B=B, cur=cur, above=above, res_cur=res_cur,
+                          masked_store=masked_store, fld=fld)
+        if s in _SUBSTEP_BLK8 and "noi8" not in dbg:
             b8 = _SUBSTEP_BLK8[s]
             _i8_block(slab, rslab, md, b8 % 2, b8 // 2, is8, wc8, rs8,
                       mb_h=mh, B=B, cur=cur, above=above, res_cur=res_cur,
@@ -707,6 +720,9 @@ def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
     # constant in B (lanes vectorize), so the padding costs HBM space,
     # not time.
     min_b = 32 if mb_w >= 40 else 8
+    env_minb = os.environ.get("ARROW_H264_INTRA_MINB")
+    if env_minb:                        # bisection override (tpu_bisect)
+        min_b = int(env_minb)
     B = max(min_b, -(-B0 // 8) * 8)
     if B != B0:
         pad = ((0, B - B0), (0, 0), (0, 0))
@@ -740,8 +756,11 @@ def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
     rsk = _skew16(jnp.clip(res_y, -32768, 32767).astype(jnp.int16),
                   mb_h, 16, 32, 40, (NP + 3) * 16)
     rblocks = _to_blocks16(rsk, 16, jnp.int16)
-    outb = _run_intra_plane(blocks, rblocks, md_y, mb_w, mb_h, B, True,
-                            interpret)
+    if "noluma" in _dbg():              # bisection: skip the luma kernel
+        outb = blocks
+    else:
+        outb = _run_intra_plane(blocks, rblocks, md_y, mb_w, mb_h, B, True,
+                                interpret)
     y_out = None
     if not raw_out:
         y_out = _unskew16(_from_blocks16(outb, B), mb_h, 16, 32, 40, W) \
@@ -755,8 +774,11 @@ def intra_phase_batch(abi_b, res_y, res_cb, res_cr, init_y, init_cb,
     rskc = _skew16(jnp.clip(r2, -32768, 32767).astype(jnp.int16),
                    mb_h, 8, 16, 20, (NP + 3) * 8)
     rcblocks = _to_blocks16(rskc, 8, jnp.int16)
-    outc = _run_intra_plane(cblocks, rcblocks, md_c, mb_w, mb_h, 2 * B,
-                            False, interpret)
+    if "nochroma" in _dbg():            # bisection: skip the chroma kernel
+        outc = cblocks
+    else:
+        outc = _run_intra_plane(cblocks, rcblocks, md_c, mb_w, mb_h, 2 * B,
+                                False, interpret)
     if raw_out:
         return outb, outc, B0
     cfl = _unskew16(_from_blocks16(outc, 2 * B), mb_h, 8, 16, 20, W // 2) \
