@@ -622,6 +622,7 @@ struct Parser {
   int prev_qp_delta = 0;
   const int8_t* zz4;   // inverse-scan tables: frame zigzag or field scan
   const int8_t* zz8;
+  int8_t zz8i[4][16];  // CAVLC 8x8 interleave: zz8i[sub][k] = zz8[4k+sub]
 
   Parser(PicBuf* pb_, SliceParams* sp_, const uint8_t* data, int64_t nbytes,
          int64_t bitpos)
@@ -632,6 +633,8 @@ struct Parser {
     n = mb_w * mb_h;
     zz4 = sp->field_pic ? kFieldScan4 : kZigzag4;
     zz8 = sp->field_pic ? kFieldScan8 : kZigzag8;
+    for (int sub = 0; sub < 4; sub++)
+      for (int k = 0; k < 16; k++) zz8i[sub][k] = zz8[4 * k + sub];
   }
 
   // ---- grid helpers ----
@@ -680,9 +683,13 @@ struct Parser {
   }
 
   // ---- CAVLC residual (entropy/cavlc.py) ----
-  // levels out in SCAN order; returns total_coeff
-  int cavlc_block(int nc, int max_coeff, int32_t* levels) {
-    for (int i = 0; i < max_coeff; i++) levels[i] = 0;
+  // Writes ONLY the nonzero levels, each at out[perm[scan_pos]]
+  // (perm = inverse-scan table, e.g. zz4 / zz4+1 / zz8); returns
+  // total_coeff.  Callers rely on the reset_pic invariant that the
+  // target row is all-zero, so skipping the zero positions replaces
+  // the old zero-init + full permuted copy (t_scatter, ~9% of parse).
+  int cavlc_block(int nc, int max_coeff, int32_t* out,
+                  const int8_t* perm) {
     int total_coeff, trailing_ones;
     if (nc == -1) {
       uint32_t p16 = r.peek(16);
@@ -773,7 +780,7 @@ struct Parser {
 
     int posi = total_coeff + total_zeros - 1;
     for (int i = 0; i < total_coeff; i++) {
-      levels[posi] = lv[i];
+      out[perm[posi]] = lv[i];
       posi -= runs[i] + 1;
     }
     return total_coeff;
