@@ -531,7 +531,39 @@ def build_headline(vals: dict, kbit: float | None, *,
     return out
 
 
+def warm_all() -> None:
+    """--warm: compile every stage's pipeline variants into the
+    persistent cache, no timing, no per-stage timeouts.  Run in-round so
+    the driver's capture (and any cold restart) loads instead of
+    compiling — the big batched pipeline compiles take ~10 min EACH over
+    the axon tunnel (measured 2026-08-20: 678 s and 546 s for the first
+    two variants), which is what blew the r4 capture window."""
+    datas = make_streams()
+    t0 = time.time()
+
+    def step(name, fn, *a):
+        print(f"# warm {name} (t={time.time() - t0:.0f}s)", file=sys.stderr,
+              flush=True)
+        try:
+            fn(*a)
+        except Exception as e:
+            print(f"# warm {name} FAILED: {e!r}", file=sys.stderr,
+                  flush=True)
+
+    step("e2e", bench_e2e, datas)
+    step("e2e_resident", bench_e2e_device_resident, datas)
+    step("device_recon", bench_device_only)
+    step("device_patch", bench_device_patch)
+    step("device_intra", bench_device_intra)
+    step("tunnel_bw", bench_tunnel_bw)
+    print(f"# warm done (t={time.time() - t0:.0f}s)", file=sys.stderr,
+          flush=True)
+
+
 def main() -> None:
+    if "--warm" in sys.argv:
+        warm_all()
+        return
     if "--stage" in sys.argv:
         run_stage(sys.argv[sys.argv.index("--stage") + 1])
         return
