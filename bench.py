@@ -79,18 +79,39 @@ def make_streams():
     return [open(p, "rb").read() for p in paths]
 
 
+def _truncate_aus(data: bytes, k: int) -> bytes:
+    """First k access units (single-slice streams): parameter sets plus
+    the first k VCL NALs — a short warmup prefix that still touches
+    every pipeline mode (I round, P rounds, B rounds)."""
+    from arrow_h264_tpu.bitstream.nal import split_annexb
+    out, vcl = [], 0
+    for ebsp in split_annexb(data):          # payloads, header byte first
+        t = ebsp[0] & 0x1F
+        if t in (1, 5):
+            vcl += 1
+            if vcl > k:
+                break
+        out.append(b"\x00\x00\x00\x01" + ebsp)
+    return b"".join(out)
+
+
 def bench_e2e(datas):
     from arrow_h264_tpu.parallel.batch import BatchDecoder
     lanes = [datas[i % N_SRC] for i in range(BATCH)]
-    # warmup/compile pass (separate decoder, same geometry + modes)
+    # warmup/compile pass: a short prefix per lane (same geometry and
+    # mode sequence; the persisted sticky specs keep the jitted
+    # structures identical to the full run, so the timed pass compiles
+    # nothing) — the materialized warmup decode is link-bound on this
+    # rig, so frame count is wall-clock
+    warm_lanes = [_truncate_aus(d, 6) for d in lanes]
     bd = BatchDecoder(n_streams=BATCH)
     t0 = time.perf_counter()
-    frames = bd.decode(lanes)
+    frames = bd.decode(warm_lanes)
     warm_s = time.perf_counter() - t0
     n = sum(len(f) for f in frames)
     errs = [e for e in bd.errors if e is not None]
     assert not errs, errs[:2]
-    assert n == BATCH * N_FRAMES, (n, BATCH, N_FRAMES)
+    assert n == BATCH * 6, (n, BATCH)
     # timed pass, everything warm
     bd = BatchDecoder(n_streams=BATCH)
     t0 = time.perf_counter()
