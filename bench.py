@@ -112,6 +112,10 @@ def bench_e2e(datas):
     errs = [e for e in bd.errors if e is not None]
     assert not errs, errs[:2]
     assert n == BATCH * 6, (n, BATCH)
+    # free the warmup decoder's batched DPB (2+ GB at batch=32 1080p)
+    # BEFORE the timed decoder allocates its own — both alive at once
+    # OOMed the worker (observed 2026-08-20 attempt 1)
+    frames = bd = None
     # timed pass, everything warm
     bd = BatchDecoder(n_streams=BATCH)
     t0 = time.perf_counter()
@@ -164,6 +168,7 @@ def bench_e2e_device_resident(datas):
     n = sum(len(f) for f in frames)
     assert n == BATCH * N_FRAMES, (n, BATCH, N_FRAMES)
     sums.clear()
+    frames = bd = None          # free the warmup DPB before reallocating
     bd = BatchDecoder(n_streams=BATCH, materialize=False,
                       on_frame=consume)
     t0 = time.perf_counter()
