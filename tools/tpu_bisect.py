@@ -138,10 +138,64 @@ PROBES = {
     "mc_b32_pl0p": lambda: probe_mc(32, mode="pl0p"),
 }
 
+# Hang bisection (VERDICT r4 #3): each entry re-runs an intra probe with
+# the wide-geometry lane pad DISABLED (ARROW_H264_INTRA_MINB=8) and part
+# of the kernel compiled out (ARROW_H264_INTRA_DEBUG) — run
+# `python tools/tpu_bisect.py --hang` on the chip; the narrowest failing
+# component pins the Mosaic-level trigger.  Geometry mb_h=8 keeps each
+# probe's compile small; mb_w sweeps the width threshold (pad engages at
+# mb_w>=40 in production).
+HANG_ENV = {"ARROW_H264_INTRA_MINB": "8"}
+HANG_PROBES = {
+    # width sweep, full kernel
+    "hang_w32": ({}, lambda: probe_intra(8, 32, 8)),
+    "hang_w40": ({}, lambda: probe_intra(8, 40, 8)),
+    "hang_w64": ({}, lambda: probe_intra(8, 64, 8)),
+    "hang_w120": ({}, lambda: probe_intra(8, 120, 8)),
+    "hang_1080p": ({}, lambda: probe_intra(8, 120, 68)),
+    # component skips at the smallest failing width
+    "hang_noluma": ({"ARROW_H264_INTRA_DEBUG": "noluma"},
+                    lambda: probe_intra(8, 120, 8)),
+    "hang_nochroma": ({"ARROW_H264_INTRA_DEBUG": "nochroma"},
+                      lambda: probe_intra(8, 120, 8)),
+    "hang_noi4": ({"ARROW_H264_INTRA_DEBUG": "noi4"},
+                  lambda: probe_intra(8, 120, 8)),
+    "hang_noi8": ({"ARROW_H264_INTRA_DEBUG": "noi8"},
+                  lambda: probe_intra(8, 120, 8)),
+    "hang_noi16": ({"ARROW_H264_INTRA_DEBUG": "noi16"},
+                   lambda: probe_intra(8, 120, 8)),
+    "hang_dma_only": ({"ARROW_H264_INTRA_DEBUG": "noi16,noi4,noi8"},
+                      lambda: probe_intra(8, 120, 8)),
+}
+
 
 def main():
+    import os
+    if "--hang" in sys.argv:
+        import time
+        for name, (env, _fn) in HANG_PROBES.items():
+            e = dict(os.environ, **HANG_ENV, **env)
+            try:
+                r = subprocess.run([sys.executable, __file__, name],
+                                   timeout=900, capture_output=True,
+                                   text=True, env=e)
+                ok = r.returncode == 0
+                tail = (r.stdout.strip().splitlines() or [""])[-1] if ok \
+                    else (r.stderr.strip().splitlines() or [""])[-1][-160:]
+            except subprocess.TimeoutExpired:
+                ok, tail = False, "TIMEOUT/HANG"
+            print(f"{name:16s} {'PASS' if ok else 'FAIL'}  {tail}",
+                  flush=True)
+            if not ok:
+                print("# hang/crash; 75s cooldown", flush=True)
+                time.sleep(75)
+        return
     if len(sys.argv) > 1:
-        PROBES[sys.argv[1]]()
+        name = sys.argv[1]
+        if name in HANG_PROBES:
+            HANG_PROBES[name][1]()
+            return
+        PROBES[name]()
         return
     import time
     for name in PROBES:
