@@ -402,16 +402,19 @@ def wait_for_tpu(max_hours: float, poll_s: float = 600.0) -> bool:
 # round.  The persistent compile cache makes retries cheap.
 
 STAGES = {
-    # name -> (fn producing a float, timeout_s).  Headline stages FIRST:
-    # a later stage that faults the TPU worker (observed 2026-08-19 on
-    # device_intra) must not cost the binding number.
+    # name -> (fn producing a float, timeout_s).  CHEAP, compile-free
+    # stages FIRST (host parse needs no device; the link probe is one
+    # transfer): even when the e2e stage loses its whole window to the
+    # axon compile grind (~10 min PER pipeline variant, r5 measured),
+    # the final JSON carries fresh host/link numbers and the
+    # stale-marked headline from the last logged real run.
+    "host_parse_fps": ("bench_host", 1200),
+    "d2h_link_GBps": ("bench_tunnel_bw", 600),
     "e2e_fps": ("bench_e2e", 5400),
     "e2e_device_resident_fps": ("bench_e2e_device_resident", 3600),
     "device_recon_fps": ("bench_device_only", 2400),
     "device_patch_fps": ("bench_device_patch", 1800),
     "device_intra_fps": ("bench_device_intra", 1800),
-    "host_parse_fps": ("bench_host", 1800),
-    "d2h_link_GBps": ("bench_tunnel_bw", 600),
 }
 
 
